@@ -1,0 +1,98 @@
+"""Particle-grid interpolation: b-spline weights, charge-conserving
+flux, and the staggered field gather.
+
+The grid staggering follows the reference's Yee cell
+(``src/grid/yee.rs:70-92``): rho, jy, jz, Ey, Ez, Bx live on the cell's
+left edge; jx, Ex, By, Bz at the cell centre.  The particle shape is a
+first-order b-spline (triangle, width 2 dx), grid points are top-hats,
+so the interpolation function is the second-order b-spline implemented
+in :func:`weight` (``yee.rs:140-149``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def weight(xi):
+    """Second-order b-spline interpolation weight (``yee.rs:140-149``).
+
+    Non-zero for |xi| < 3/2; weights of all grid points within 3/2 of
+    the particle centre sum to 1.
+    """
+    xhat = jnp.abs(xi)
+    inner = 0.75 - xhat**2
+    outer = 1.125 - 1.5 * xhat + 0.5 * xhat**2
+    return jnp.where(xhat > 1.5, 0.0, jnp.where(xhat < 0.5, inner, outer))
+
+
+def flux(x_i, x_f):
+    """Amount of (triangle-shaped) particle crossing a boundary that
+    moves from displacement ``x_i`` to ``x_f`` relative to the particle
+    centre (``yee.rs:185-204``).  Positive for left-to-right motion;
+    exactly conserves particle weight.
+    """
+    ai, af = jnp.abs(x_i), jnp.abs(x_f)
+    # case 1: |x_i| < 1, |x_f| >= 1 -> v = (1-|x_i|)^2/2, sign of -x_i
+    v1 = jnp.copysign(0.5 * (1.0 - ai) ** 2, -x_i)
+    # case 2: same sign -> difference of half-squares, sign of x_i - x_f
+    v2 = jnp.copysign(
+        0.5 * (1.0 - af) ** 2 - 0.5 * (1.0 - ai) ** 2, x_i - x_f
+    )
+    # case 3: opposite signs -> sum of both triangles, sign of x_i
+    v3 = jnp.copysign(ai * (1.0 - 0.5 * ai) + af * (1.0 - 0.5 * af), x_i)
+    # case 4: |x_i| >= 1, |x_f| < 1 -> (1-|x_f|)^2/2, sign of x_f
+    v4 = jnp.copysign(0.5 * (1.0 - af) ** 2, x_f)
+
+    inner_i = ai < 1.0
+    inner_f = af < 1.0
+    same_sign = x_i * x_f >= 0.0
+    return jnp.where(
+        inner_i,
+        jnp.where(~inner_f, v1, jnp.where(same_sign, v2, v3)),
+        jnp.where(inner_f, v4, 0.0),
+    )
+
+
+def fields_at(E, B, idx, xi):
+    """Gather (E, B) at per-particle positions.
+
+    ``E``/``B`` are local field slabs of shape (n, 3); ``idx`` the
+    per-particle *array index* of its cell (caller adds the halo
+    offset); ``xi`` the fractional offset in [0, 1).  Implements the
+    staggered 2nd-order b-spline interpolation of
+    ``yee.rs:499-529``: edge quantities (Ey, Ez) gather from cells
+    idx-1..idx+2, centred quantities (Ex, By, Bz) from idx-1..idx+1,
+    and Bx is piecewise-constant.
+
+    Returns ``(Ep, Bp)`` of shape (N, 3).
+    """
+    Em1 = E[idx - 1]
+    E0 = E[idx]
+    Ep1 = E[idx + 1]
+    Ep2 = E[idx + 2]
+    Bm1 = B[idx - 1]
+    B0 = B[idx]
+    Bp1 = B[idx + 1]
+
+    # centred weights (half-integer stagger)
+    wc_m1 = weight(0.5 + xi)
+    wc_0 = weight(0.5 - xi)
+    wc_p1 = weight(1.5 - xi)
+    # edge weights
+    we_m1 = weight(1.0 + xi)
+    we_0 = weight(xi)
+    we_p1 = weight(1.0 - xi)
+    we_p2 = weight(2.0 - xi)
+
+    Ex = Em1[:, 0] * wc_m1 + E0[:, 0] * wc_0 + Ep1[:, 0] * wc_p1
+    Ey = Em1[:, 1] * we_m1 + E0[:, 1] * we_0 + Ep1[:, 1] * we_p1 + Ep2[:, 1] * we_p2
+    Ez = Em1[:, 2] * we_m1 + E0[:, 2] * we_0 + Ep1[:, 2] * we_p1 + Ep2[:, 2] * we_p2
+
+    Bx = B0[:, 0]
+    By = Bm1[:, 1] * wc_m1 + B0[:, 1] * wc_0 + Bp1[:, 1] * wc_p1
+    Bz = Bm1[:, 2] * wc_m1 + B0[:, 2] * wc_0 + Bp1[:, 2] * wc_p1
+
+    Ep = jnp.stack([Ex, Ey, Ez], axis=-1)
+    Bp = jnp.stack([Bx, By, Bz], axis=-1)
+    return Ep, Bp
