@@ -1,0 +1,329 @@
+"""QED interactions coupling particle populations.
+
+Photon emission (radiation reaction) and one-photon absorption /
+stimulated emission, redesigned from the reference's Rayon-parallel,
+dynamically-growing implementation (``src/particle/interactions.rs``)
+into shape-stable masked array programs:
+
+* ``emit_radiation``: every electron whose optical depth fell below
+  zero samples the quantum (or classical) synchrotron spectrum,
+  recoils, and scatters its photon into a dead slot of the photon
+  buffer (``interactions.rs:45-107``, ``electron.rs:208-251``).
+* ``absorb``: photons pair with electrons sharing their cell.  The
+  reference scans electrons sequentially per photon and stops at the
+  first event; here a fixed-bound ``fori_loop`` walks the cell-sorted
+  electron segment with per-photon done-masks, preserving the
+  "first event wins" semantics (``interactions.rs:145-340``).
+
+RNG is counter-based (threefry): every (step, purpose, lane) gets an
+independent stream, replacing the reference's per-chunk Xoshiro jumps.
+Parity is at the distribution level, as fixed in SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import constants as const
+from .parallel import halo
+from .parallel.migrate import insert
+from .qed import cross_sections, emission
+from .species import ParticleState
+
+_TINY = 1.0e-300
+
+
+def _orthogonal(v):
+    """A unit vector orthogonal to v (``vec3.rs:120-127``)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    use_xy = jnp.abs(x) > jnp.abs(z)
+    perp = jnp.where(
+        use_xy[..., None],
+        jnp.stack([-y, x, jnp.zeros_like(x)], axis=-1),
+        jnp.stack([jnp.zeros_like(x), -z, y], axis=-1),
+    )
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(perp * perp, axis=-1), _TINY))
+    return perp / norm[..., None]
+
+
+def _rotate_around(v, axis, theta):
+    """Rodrigues rotation of v about a unit axis (``vec3.rs:129-143``)."""
+    s = jnp.sin(theta)[..., None]
+    c = jnp.cos(theta)[..., None]
+    axis_dot_v = jnp.sum(axis * v, axis=-1, keepdims=True)
+    return v * c + jnp.cross(axis, v) * s + axis * axis_dot_v * (1.0 - c)
+
+
+def emit_radiation(sim, species, counters, t, key):
+    """Emission pass over the electron population; returns updated
+    (species, counters).  ``sim`` supplies options and specs."""
+    opt = sim.options
+    e = species["electron"]
+    ph = species["photon"]
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    n = e.alive.shape[0]
+    shape = (n,)
+    r1 = jax.random.uniform(k1, shape, e.x.dtype)
+    r2 = jax.random.uniform(k2, shape, e.x.dtype)
+    r3 = jax.random.uniform(k3, shape, e.x.dtype)
+
+    emits = e.alive & (e.tau < 0.0)
+
+    if opt.radiation_reaction:
+        omega_mc2, theta, cphi = emission.sample(e.chi, e.gamma, r1, r2, r3)
+    else:
+        omega_mc2, theta, cphi = emission.classical_sample(
+            e.chi, e.gamma, r1, r2, r3
+        )
+
+    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(e.u * e.u, axis=-1), _TINY))
+    parallel = e.u / u_norm[:, None]
+    perp = _rotate_around(_orthogonal(parallel), parallel, cphi)
+    if opt.beaming:
+        k_ph = omega_mc2[:, None] * (
+            jnp.cos(theta)[:, None] * parallel + jnp.sin(theta)[:, None] * perp
+        )
+    else:
+        k_ph = omega_mc2[:, None] * parallel
+
+    formation_length = (
+        2.0
+        * e.gamma**2
+        * theta
+        * const.SPEED_OF_LIGHT
+        * const.COMPTON_TIME
+        / jnp.maximum(e.chi, _TINY)
+    )
+
+    # --- electron update: tau reset + recoil (electron.rs:210-239) ----
+    new_tau = jnp.where(
+        emits, jax.random.exponential(k4, shape, e.x.dtype), e.tau
+    )
+    if opt.radiation_reaction:
+        u_new = jnp.where(emits[:, None], e.u - k_ph, e.u)
+        gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
+        chi_new = jnp.where(emits, e.chi * gamma_new / e.gamma, e.chi)
+        gamma_new = jnp.where(emits, gamma_new, e.gamma)
+    else:
+        u_new, gamma_new, chi_new = e.u, e.gamma, e.chi
+    e = dataclasses.replace(e, u=u_new, gamma=gamma_new, chi=chi_new, tau=new_tau)
+
+    # --- filters (interactions.rs:74-97) ------------------------------
+    k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _TINY))
+    keep = emits
+    if opt.photon_energy_min is not None:
+        keep = keep & (k0 * const.ELECTRON_MASS_MEV >= opt.photon_energy_min)
+    if opt.photon_angle_max is not None:
+        angle = jnp.arccos(jnp.clip(-k_ph[:, 0] / k0, -1.0, 1.0))
+        keep = keep & (angle <= opt.photon_angle_max)
+    if opt.max_formation_length is not None:
+        keep = keep & (formation_length < opt.max_formation_length)
+
+    # --- photon construction (photon.rs:95-116, electron.rs:243-245) --
+    dtype = e.x.dtype
+    prev_x = e.x - const.SPEED_OF_LIGHT * k_ph[:, 0] * opt.dt / (
+        jnp.maximum(k0, _TINY) * sim.geom.dx
+    )
+    ek = jax.random.split(k5, 2)
+    buf = ParticleState(
+        cell=e.cell,
+        x=e.x,
+        prev_x=prev_x,
+        y=jnp.zeros(n, dtype),
+        z=jnp.zeros(n, dtype),
+        weight=e.weight,
+        u=k_ph,
+        gamma=k0,
+        chi=jnp.zeros(n, dtype),
+        tau=None,
+        tau_abs=jax.random.exponential(ek[0], shape, dtype),
+        tau_st=jax.random.exponential(ek[1], shape, dtype),
+        work=None,
+        birth_time=jnp.full(n, t, dtype),
+        alive=keep,
+    )
+    ph, overflow = insert(ph, buf, keep)
+    counters = {
+        **counters,
+        "photon": counters["photon"] + halo.psum(overflow, "x"),
+    }
+    return {**species, "electron": e, "photon": ph}, counters
+
+
+def absorb(sim, species, counters, t, key):
+    """Photon absorption / stimulated emission pass
+    (``interactions.rs:145-340``).
+
+    Electrons are sorted by cell; each photon walks its cell's electron
+    segment (bounded by ``options.absorption_candidates``) accumulating
+    optical-depth decrements until its first event.  Absorbed photons
+    die and kick their electron by (w_ph/w_e) k; stimulated events
+    append a photon with the electron's weight and kick by -k.
+    """
+    opt = sim.options
+    geom = sim.geom
+    e = species["electron"]
+    ph = species["photon"]
+    n_e = e.alive.shape[0]
+    n_ph = ph.alive.shape[0]
+    K = min(opt.absorption_candidates, n_e)
+    dtype = e.x.dtype
+
+    # --- cell-sorted electron view ------------------------------------
+    cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
+    order = jnp.argsort(cell_key)
+    sorted_cells = cell_key[order]
+    # segment [start[c], end[c]) of electrons in cell c
+    cells = jnp.arange(geom.n_loc, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(sorted_cells, cells, side="left")
+    seg_end = jnp.searchsorted(sorted_cells, cells, side="right")
+
+    pcell = jnp.clip(ph.cell, 0, geom.n_loc - 1)
+    p_start = seg_start[pcell]
+    p_end = seg_end[pcell]
+    overflow_pairs = jnp.sum(
+        jnp.where(ph.alive, jnp.maximum(p_end - p_start - K, 0), 0)
+    )
+
+    # --- photon skip conditions (interactions.rs:176-192) -------------
+    PHOTON_E_ECRIT_CUTOFF = 1.0e-8
+    energy = ph.gamma * const.ELECTRON_MASS_MEV
+    active = ph.alive & (
+        ph.chi * const.ELECTRON_MASS_MEV / jnp.maximum(energy, _TINY)
+        >= PHOTON_E_ECRIT_CUTOFF
+    )
+    if opt.absorption_stop_time is not None:
+        active = active & (t - ph.birth_time <= opt.absorption_stop_time)
+    if opt.max_displacement is not None:
+        r_perp = jnp.hypot(ph.y, ph.z)
+        active = active & (r_perp <= opt.max_displacement)
+
+    k4_ph = jnp.concatenate([ph.gamma[:, None], ph.u], axis=1)
+    p4_e_sorted = jnp.concatenate([e.gamma[:, None], e.u], axis=1)[order]
+    chi_e_sorted = e.chi[order]
+    w_e_sorted = e.weight[order]
+    cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
+
+    def body(kk, carry):
+        tau_abs, tau_st, done, ev_kind, ev_idx, ev_pabs, ev_pst = carry
+        idx = p_start + kk
+        valid = (~done) & active & (idx < p_end)
+        idx_c = jnp.clip(idx, 0, n_e - 1)
+
+        p4 = p4_e_sorted[idx_c]
+        chi_e = chi_e_sorted[idx_c]
+        w_e = w_e_sorted[idx_c]
+
+        sig_abs, _ = cross_sections.photon_absorption(k4_ph, p4, ph.chi, chi_e)
+        p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
+        if opt.stimulated_emission:
+            sig_st, _ = cross_sections.stimulated_emission(
+                k4_ph, p4, ph.chi, chi_e
+            )
+            p_st = jnp.where(valid, w_e * cdt_dx * sig_st, 0.0)
+        else:
+            p_st = jnp.zeros_like(p_abs)
+
+        tau_abs = tau_abs - p_abs
+        tau_st = tau_st - p_st
+
+        r = jax.random.uniform(jax.random.fold_in(key, kk), (n_ph,), dtype)
+        both = (tau_abs < 0.0) & (tau_st < 0.0)
+        choose_abs = r < p_abs / jnp.maximum(p_abs + p_st, _TINY)
+        absorbed_now = valid & (
+            (both & choose_abs) | ((tau_abs < 0.0) & ~(tau_st < 0.0))
+        )
+        stim_now = valid & (
+            (both & ~choose_abs) | ((tau_st < 0.0) & ~(tau_abs < 0.0))
+        )
+        event = absorbed_now | stim_now
+
+        # stimulated emission resets tau_st (and tau_abs when both fired)
+        exp1 = jax.random.exponential(
+            jax.random.fold_in(key, 1000 + kk), (2, n_ph), dtype
+        )
+        tau_abs = jnp.where(stim_now & both, exp1[0], tau_abs)
+        tau_st = jnp.where(stim_now, exp1[1], tau_st)
+
+        ev_kind = jnp.where(event, jnp.where(absorbed_now, 1, 2), ev_kind)
+        ev_idx = jnp.where(event, idx_c, ev_idx)
+        done = done | event
+        return (tau_abs, tau_st, done, ev_kind, ev_idx, ev_pabs, ev_pst)
+
+    init = (
+        ph.tau_abs,
+        ph.tau_st,
+        jnp.zeros(n_ph, bool),
+        jnp.zeros(n_ph, jnp.int32),
+        jnp.zeros(n_ph, jnp.int32),
+        jnp.zeros(n_ph, dtype),
+        jnp.zeros(n_ph, dtype),
+    )
+    tau_abs, tau_st, done, ev_kind, ev_idx, _, _ = lax.fori_loop(0, K, body, init)
+
+    absorbed = ev_kind == 1
+    stimulated = ev_kind == 2
+    ev_e = order[ev_idx]  # unsorted electron index of the event partner
+
+    # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
+    # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
+    w_e_ev = e.weight[ev_e]
+    scale_abs = ph.weight / jnp.maximum(w_e_ev, _TINY)
+    du = jnp.where(
+        absorbed[:, None],
+        scale_abs[:, None] * ph.u,
+        jnp.where(stimulated[:, None], -ph.u, 0.0),
+    )
+    du_e = (
+        jnp.zeros((n_e, 3), dtype)
+        .at[ev_e]
+        .add(jnp.where((absorbed | stimulated)[:, None], du, 0.0))
+    )
+    u_new = e.u + du_e
+    gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
+    e = dataclasses.replace(e, u=u_new, gamma=gamma_new)
+
+    # --- photon bookkeeping -------------------------------------------
+    ph = dataclasses.replace(
+        ph,
+        tau_abs=tau_abs,
+        tau_st=tau_st,
+        alive=ph.alive & ~absorbed,
+        weight=jnp.where(absorbed, 0.0, ph.weight),
+        u=jnp.where(absorbed[:, None], 0.0, ph.u),
+        cell=jnp.where(absorbed, 0, ph.cell),
+    )
+
+    # stimulated copies: same momentum, electron's weight, fresh depths
+    ks = jax.random.split(jax.random.fold_in(key, -1), 2)
+    buf = ParticleState(
+        cell=ph.cell,
+        x=ph.x,
+        prev_x=ph.prev_x,
+        y=ph.y,
+        z=ph.z,
+        weight=w_e_ev,
+        u=ph.u,
+        gamma=ph.gamma,
+        chi=ph.chi,
+        tau=None,
+        tau_abs=jax.random.exponential(ks[0], (n_ph,), dtype),
+        tau_st=jax.random.exponential(ks[1], (n_ph,), dtype),
+        work=None,
+        birth_time=jnp.full(n_ph, t, dtype),
+        alive=stimulated,
+    )
+    ph, overflow = insert(ph, buf, stimulated)
+
+    counters = {
+        **counters,
+        "photon": counters["photon"]
+        + halo.psum(overflow + overflow_pairs, "x"),
+    }
+    return {**species, "electron": e, "photon": ph}, counters

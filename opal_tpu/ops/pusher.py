@@ -135,9 +135,9 @@ def boris_push(cell, x, y, z, u, charge, mass, E, B, dx, dt):
     """
     c = const.SPEED_OF_LIGHT
     cB = c * B
-    alpha = charge * dt / (2.0 * mass * c)
+    alpha = charge * dt / (2.0 * mass * c)  # (N,)
 
-    u_minus = u + alpha * E
+    u_minus = u + alpha[:, None] * E
     um2 = _dot(u_minus, u_minus)
     gamma = 1.0 + um2 / (1.0 + jnp.sqrt(1.0 + um2))
     t = alpha / gamma
@@ -159,7 +159,7 @@ def boris_push(cell, x, y, z, u, charge, mass, E, B, dx, dt):
         / const.CRITICAL_FIELD
     )
 
-    u_new = u_plus + alpha * E
+    u_new = u_plus + alpha[:, None] * E
     un2 = _dot(u_new, u_new)
     gamma_m1 = un2 / (1.0 + jnp.sqrt(1.0 + un2))
 

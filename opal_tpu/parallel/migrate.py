@@ -1,0 +1,153 @@
+"""Particle migration between device subdomains.
+
+Replaces the reference's sort + slice + synchronous-send exchange
+(``src/particle/mod.rs:284-375``) with fixed-capacity send buffers and
+``lax.ppermute`` over the mesh ring — shape-stable, no sorting
+required.  Particles that cross a non-periodic global boundary are
+deleted, as in the reference (leavers with no neighbour are dropped).
+
+Buffer overflow (more leavers in one step than the migration capacity)
+loses the excess particles; the count is accumulated and surfaced in
+diagnostics rather than silently ignored.  Leaving particles travel at
+most one cell per step (CFL), so a generous capacity makes overflow
+practically impossible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, tree_util
+
+from ..grid import GridGeometry
+from ..species import ParticleState
+
+
+def _pack(state: ParticleState, mask, cap: int):
+    """Gather up to ``cap`` masked particles into a send buffer.
+
+    Returns (buffer pytree, valid mask (cap,), n_masked).
+    """
+    n = mask.shape[0]
+    order = jnp.argsort(~mask)  # leavers first, stable
+    take = order[:cap]
+    n_mask = jnp.sum(mask)
+    valid = jnp.arange(cap) < n_mask
+    buf = tree_util.tree_map(lambda a: a[take], state)
+    return buf, valid, n_mask
+
+
+def migrate(
+    state: ParticleState,
+    geom: GridGeometry,
+    axis_name: str,
+    axis_index,
+    send_capacity: int,
+):
+    """Exchange particles that left the local subdomain.
+
+    Returns ``(state, overflow_count)``.  ``state.cell`` must hold the
+    post-push device-local cell; leavers have cell < 0 or >= n_loc.
+    """
+    n_loc = geom.n_loc
+    ndev = geom.n_devices
+    periodic = geom.left_boundary == "periodic"
+
+    go_left = state.alive & (state.cell < 0)
+    go_right = state.alive & (state.cell >= n_loc)
+
+    if not periodic:
+        # Delete at the global domain edges (reference: no neighbour ->
+        # leavers dropped, mod.rs:309-329).  The interior spans
+        # [left_pad, left_pad + nx) in extended cells; a particle
+        # entering a boundary zone is gone.
+        g = axis_index * n_loc + state.cell
+        out_left = g < geom.interior_start
+        out_right = g >= geom.interior_end
+        deleted = state.alive & (out_left | out_right)
+        go_left = go_left & ~out_left & ~out_right
+        go_right = go_right & ~out_left & ~out_right
+    else:
+        deleted = jnp.zeros_like(go_left)
+
+    cap = min(send_capacity, state.alive.shape[0])
+    left_buf, left_valid, n_left = _pack(state, go_left, cap)
+    right_buf, right_valid, n_right = _pack(state, go_right, cap)
+    overflow = jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
+
+    # cell reindex for the receiving side (mod.rs:291-293, 366-368)
+    left_buf = tree_util.tree_map_with_path(
+        lambda p, a: a + n_loc if p[0].name == "cell" else a, left_buf
+    )
+    right_buf = tree_util.tree_map_with_path(
+        lambda p, a: a - n_loc if p[0].name == "cell" else a, right_buf
+    )
+
+    perm_to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    perm_to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    from_right = tree_util.tree_map(
+        lambda a: lax.ppermute(a, axis_name, perm_to_left), left_buf
+    )
+    from_right_valid = lax.ppermute(left_valid, axis_name, perm_to_left)
+    from_left = tree_util.tree_map(
+        lambda a: lax.ppermute(a, axis_name, perm_to_right), right_buf
+    )
+    from_left_valid = lax.ppermute(right_valid, axis_name, perm_to_right)
+
+    # mark all leavers and boundary-deleted particles dead, clearing
+    # their kinematics so later pushes are inert
+    gone = go_left | go_right | deleted
+    state = _clear(state, gone)
+
+    # merge both receive buffers and insert into free slots
+    recv = tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b]), from_left, from_right
+    )
+    recv_valid = jnp.concatenate([from_left_valid, from_right_valid])
+    state, ins_overflow = insert(state, recv, recv_valid)
+    return state, overflow + ins_overflow
+
+
+def _clear(state: ParticleState, mask):
+    def clr(path, a):
+        name = path[0].name
+        if name == "alive":
+            return a & ~mask
+        if name in ("cell", "weight"):
+            return jnp.where(mask, 0, a).astype(a.dtype)
+        if name == "u":
+            return jnp.where(mask[:, None], 0.0, a)
+        return a
+
+    return tree_util.tree_map_with_path(clr, state)
+
+
+def insert(state: ParticleState, buf: ParticleState, valid):
+    """Scatter ``valid`` buffer entries into dead slots of ``state``.
+
+    Returns (state, overflow) where overflow counts entries that found
+    no free slot.  Used by migration and by photon emission.
+    """
+    n = state.alive.shape[0]
+    m = valid.shape[0]
+    free_order = jnp.argsort(state.alive)  # dead slots first
+    n_free = jnp.sum(~state.alive)
+
+    rank = jnp.cumsum(valid) - 1  # destination rank among valid entries
+    ok = valid & (rank < n_free) & (rank < n)
+    dest = free_order[jnp.clip(rank, 0, n - 1)]
+    # route rejected entries to a dummy slot index n (dropped by scatter)
+    dest = jnp.where(ok, dest, n)
+
+    def put(path, a, b):
+        if a is None:
+            return None
+        name = path[0].name
+        if name == "alive":
+            return a.at[dest].set(ok, mode="drop")
+        return a.at[dest].set(b, mode="drop")
+
+    state = tree_util.tree_map_with_path(put, state, buf)
+    overflow = jnp.sum(valid) - jnp.sum(ok)
+    return state, overflow

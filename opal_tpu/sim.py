@@ -1,0 +1,296 @@
+"""The particle-in-cell simulation core.
+
+One fused, scanned, shard_mapped step reproducing the reference's hot
+loop order (``src/main.rs:238-267``):
+
+1. push each species (gather fields, advance momentum/position)
+2. migrate particles across device boundaries (ppermute ring)
+3. photon absorption (optional)            [qed]
+4. photon emission (optional)              [qed]
+5. clear + deposit currents
+6. halo synchronize (fold currents, refresh ghosts) + boundary load
+7. Yee field advance (B half, E full, B half)
+
+Because field halos are refreshed at the *start* of the next step's
+push (with values identical to the reference's locally-advanced
+ghosts — see the analysis in ``grid.py``), the step body orders
+exchange first without changing semantics.
+
+The steps-between-outputs block runs as ``lax.scan`` inside
+``jax.shard_map`` — a whole output interval compiles to one XLA
+program with ICI collectives, replacing per-step MPI calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, tree_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import constants as const
+from .fields import make_mesh, sm_mask, zero_fields
+from .grid import HALO, GridGeometry, apply_boundaries, em_field_energy_local
+from .ops import maxwell
+from .ops.deposit import deposit
+from .ops.interp import fields_at
+from .ops.pusher import boris_push, photon_push, vay_push
+from .parallel import halo
+from .parallel.migrate import migrate
+from .species import ParticleState, SpeciesSpec, kinetic_energy_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class SimOptions:
+    """Static physics/runtime switches.
+
+    The reference's compile-time cargo features (``Cargo.toml:24-31``)
+    become trace-time booleans here: each combination compiles its own
+    specialized step.
+    """
+
+    dt: float
+    current_deposition: bool = True
+    photon_emission: bool = False
+    photon_absorption: bool = False
+    # feature-flag equivalents
+    radiation_reaction: bool = True  # 'no_radiation_reaction' inverted
+    beaming: bool = True  # 'no_beaming' inverted
+    stimulated_emission: bool = True  # 'no_stimulated_emission' inverted
+    immobile_photons: bool = False
+    # emission filters (main.rs:81-83)
+    photon_energy_min: float | None = None  # MeV
+    photon_angle_max: float | None = None  # rad, about -x axis
+    max_formation_length: float | None = None  # m
+    # absorption controls (main.rs:84-85 / interactions.rs:145)
+    max_displacement: float | None = None
+    absorption_stop_time: float | None = None
+    # capacity planning
+    migration_capacity: int = 4096
+    absorption_candidates: int = 64
+    seed: int = 0
+
+
+class Simulation:
+    """Owns the mesh, geometry, species registry and jitted step."""
+
+    def __init__(
+        self,
+        geom: GridGeometry,
+        options: SimOptions,
+        species: dict[str, SpeciesSpec],
+        mesh: Mesh | None = None,
+        laser_y: Callable | None = None,
+        laser_z: Callable | None = None,
+        dtype=jnp.float64,
+    ):
+        self.geom = geom
+        self.options = options
+        self.specs = dict(species)
+        self.mesh = mesh if mesh is not None else make_mesh(geom.n_devices)
+        self.dtype = dtype
+        zero = lambda t, x: jnp.zeros((), dtype)
+        self.laser_y = laser_y or zero
+        self.laser_z = laser_z or zero
+        self._run = jax.jit(self._build_run(), static_argnames=("nsteps",))
+
+    # ------------------------------------------------------------------
+    # state plumbing
+    # ------------------------------------------------------------------
+
+    def shard_particles(self, state: ParticleState) -> ParticleState:
+        """Device-put a host-side ParticleState with the per-device block
+        layout produced by ``species.initialize``."""
+        def put(a):
+            if a is None:
+                return None
+            spec = P("x") if a.ndim == 1 else P("x", None)
+            return jax.device_put(jnp.asarray(a), NamedSharding(self.mesh, spec))
+
+        return tree_util.tree_map(put, state)
+
+    def _pspec(self, state_tree):
+        return tree_util.tree_map(
+            lambda a: P("x") if a.ndim == 1 else P("x", None), state_tree
+        )
+
+    # ------------------------------------------------------------------
+    # the step
+    # ------------------------------------------------------------------
+
+    def _push_species(self, name, st: ParticleState, E_slab, B_slab, t):
+        geom, opt = self.geom, self.options
+        spec = self.specs[name]
+        idx = st.cell + HALO
+        Ep, Bp = fields_at(E_slab, B_slab, idx, st.x)
+
+        if spec.kind == "electron":
+            res = vay_push(
+                st.cell, st.x, st.y, st.z, st.u, st.gamma, st.tau, st.work,
+                Ep, Bp, geom.dx, opt.dt,
+                classical_rates=not opt.radiation_reaction,
+            )
+            st = dataclasses.replace(
+                st,
+                cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y, z=res.z,
+                u=res.u, gamma=res.gamma, chi=res.chi, tau=res.tau,
+                work=res.work,
+            )
+        elif spec.kind == "ion":
+            q = jnp.full_like(st.x, spec.charge)
+            m = jnp.full_like(st.x, spec.mass)
+            cell, x, prev_x, y, z, u, gamma_m1, _chi = boris_push(
+                st.cell, st.x, st.y, st.z, st.u, q, m, Ep, Bp, geom.dx, opt.dt
+            )
+            st = dataclasses.replace(
+                st, cell=cell, x=x, prev_x=prev_x, y=y, z=z, u=u,
+                gamma=1.0 + gamma_m1,
+            )
+        elif spec.kind == "photon":
+            if opt.immobile_photons:
+                return st
+            cell, x, prev_x, y, z, chi = photon_push(
+                st.cell, st.x, st.y, st.z, st.u, Ep, Bp, geom.dx, opt.dt
+            )
+            st = dataclasses.replace(
+                st, cell=cell, x=x, prev_x=prev_x, y=y, z=z, chi=chi
+            )
+        return st
+
+    def _velocity(self, spec: SpeciesSpec, st: ParticleState):
+        c = const.SPEED_OF_LIGHT
+        if spec.kind == "photon":
+            k0 = jnp.maximum(st.gamma, 1e-300)
+            return c * st.u / k0[:, None]
+        return c * st.u / st.gamma[:, None]
+
+    def _device_step(self, carry, key, ai):
+        geom, opt = self.geom, self.options
+        E, B, _J_prev, _rho_prev, species, t, counters = carry
+
+        E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
+
+        # 1-2: push + migrate, species by species (reference order:
+        # electrons, ions, photons — main.rs:240-244)
+        for name in self.specs:
+            st = self._push_species(name, species[name], E_slab, B_slab, t)
+            st, ovf = migrate(st, geom, "x", ai, opt.migration_capacity)
+            counters = {**counters, name: counters[name] + halo.psum(ovf, "x")}
+            species = {**species, name: st}
+
+        # 3-4: QED interactions
+        if opt.photon_absorption:
+            from .interactions import absorb
+
+            key, sub = jax.random.split(key)
+            species, counters = absorb(
+                self, species, counters, t, jax.random.fold_in(sub, ai)
+            )
+        if opt.photon_emission:
+            from .interactions import emit_radiation
+
+            key, sub = jax.random.split(key)
+            species, counters = emit_radiation(
+                self, species, counters, t, jax.random.fold_in(sub, ai)
+            )
+
+        # 5: deposition
+        n_slab = geom.n_loc + 2 * HALO
+        J_slab = jnp.zeros((n_slab, 3), E.dtype)
+        rho_slab = jnp.zeros((n_slab,), E.dtype)
+        if opt.current_deposition:
+            for name, spec in self.specs.items():
+                if spec.charge == 0.0:
+                    continue
+                st = species[name]
+                macrocharge = jnp.where(st.alive, st.weight * spec.charge, 0.0)
+                J_slab, rho_slab = deposit(
+                    J_slab, rho_slab, st.cell + HALO, st.x, st.prev_x,
+                    macrocharge, self._velocity(spec, st), geom.dx, opt.dt,
+                )
+        # 6: synchronize + boundary load
+        J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
+        E_own, B_own = apply_boundaries(
+            E_slab[HALO:-HALO], B_slab[HALO:-HALO], geom, ai, t, opt.dt,
+            self.laser_y, self.laser_z,
+        )
+        E_slab = E_slab.at[HALO:-HALO].set(E_own)
+        B_slab = B_slab.at[HALO:-HALO].set(B_own)
+        J_slab = jnp.pad(J, ((HALO, HALO), (0, 0)))
+
+        # 7: field advance
+        E_slab, B_slab = maxwell.advance(
+            E_slab, B_slab, J_slab, opt.dt, geom.dx, sm_mask(geom, ai)
+        )
+        E = E_slab[HALO:-HALO]
+        B = B_slab[HALO:-HALO]
+
+        return (E, B, J, rho, species, t + opt.dt, counters), None
+
+    def _build_run(self):
+        def device_fn(E, B, J, rho, species, t0, key, counters, nsteps):
+            ai = lax.axis_index("x")
+
+            def body(carry, step_key):
+                return self._device_step(carry, step_key, ai)
+
+            keys = jax.random.split(key, nsteps)
+            carry, _ = lax.scan(body, (E, B, J, rho, species, t0, counters), keys)
+            return carry
+
+        def run(E, B, J, rho, species, t0, key, counters, nsteps):
+            sp_specs = self._pspec(species)
+            return jax.shard_map(
+                partial(device_fn, nsteps=nsteps),
+                mesh=self.mesh,
+                in_specs=(
+                    P("x", None), P("x", None), P("x", None), P("x"),
+                    sp_specs, P(), P(), P(),
+                ),
+                out_specs=(
+                    P("x", None), P("x", None), P("x", None), P("x"),
+                    sp_specs, P(), P(),
+                ),
+            )(E, B, J, rho, species, t0, key, counters)
+
+        return run
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def init_fields(self):
+        return zero_fields(self.geom, self.mesh, self.dtype)
+
+    def zero_counters(self):
+        return {name: jnp.zeros((), jnp.int64) for name in self.specs}
+
+    def run(self, E, B, J, rho, species, t0, key, counters, nsteps: int):
+        """Advance ``nsteps`` steps; returns (E, B, J, rho, species, t,
+        counters) with J/rho from the final step (for output parity)."""
+        return self._run(
+            E, B, J, rho, species, jnp.asarray(t0, self.dtype), key, counters,
+            nsteps=nsteps,
+        )
+
+    def em_field_energy(self, E, B) -> float:
+        def device_fn(E, B):
+            ai = lax.axis_index("x")
+            return halo.psum(em_field_energy_local(E, B, self.geom, ai), "x")
+
+        return float(
+            jax.shard_map(
+                device_fn, mesh=self.mesh,
+                in_specs=(P("x", None), P("x", None)), out_specs=P(),
+            )(E, B)
+        )
+
+    def total_kinetic_energy(self, name: str, state: ParticleState) -> float:
+        """Global kinetic energy of a species in joules
+        (``mod.rs:227-240``)."""
+        return float(jnp.sum(kinetic_energy_weights(self.specs[name], state)))

@@ -1,0 +1,259 @@
+"""Particle species: fixed-capacity structure-of-arrays state.
+
+The reference's ``Population<T>`` (``src/particle/mod.rs:141-376``)
+holds a growable ``Vec`` of particle structs; on TPU every shape must
+be static, so a species is a pytree of per-field arrays with a fixed
+per-device capacity and an ``alive`` mask.  Emission *appends* by
+claiming dead slots; absorption and out-of-domain losses *delete* by
+clearing the mask (reference deletions: ``interactions.rs:291-309``,
+``mod.rs:291-373``).
+
+Momentum convention follows the reference: ``u`` is p/(mc) for massive
+species and the momentum in units of m_e c for photons; ``gamma``
+stores the Lorentz factor (massive) or |k| (photons).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as const
+from .grid import GridGeometry
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "cell",
+        "x",
+        "prev_x",
+        "y",
+        "z",
+        "weight",
+        "u",
+        "gamma",
+        "chi",
+        "tau",
+        "tau_abs",
+        "tau_st",
+        "work",
+        "birth_time",
+        "alive",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ParticleState:
+    """Per-device SoA particle storage (all arrays length = capacity).
+
+    Optional per-species fields are ``None`` when unused: ``tau``/
+    ``work`` exist for electrons, ``tau_abs``/``tau_st``/``birth_time``
+    for photons.
+    """
+
+    cell: jnp.ndarray  # (N,) int32, device-local owned-cell index
+    x: jnp.ndarray  # (N,) fractional offset in [0, 1)
+    prev_x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    weight: jnp.ndarray
+    u: jnp.ndarray  # (N, 3)
+    gamma: jnp.ndarray
+    chi: jnp.ndarray
+    tau: jnp.ndarray | None
+    tau_abs: jnp.ndarray | None
+    tau_st: jnp.ndarray | None
+    work: jnp.ndarray | None
+    birth_time: jnp.ndarray | None
+    alive: jnp.ndarray  # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.cell.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeciesSpec:
+    """Static description of a species."""
+
+    name: str
+    kind: str  # 'electron' | 'ion' | 'photon'
+    charge: float = 0.0  # SI, per real particle
+    mass: float = 0.0  # SI
+    output: tuple[str, ...] = ()
+
+    @staticmethod
+    def electron(output=()) -> "SpeciesSpec":
+        return SpeciesSpec(
+            "electron", "electron", const.ELECTRON_CHARGE, const.ELECTRON_MASS,
+            tuple(output),
+        )
+
+    @staticmethod
+    def ion(name, charge_state, mass_number, output=()) -> "SpeciesSpec":
+        return SpeciesSpec(
+            name,
+            "ion",
+            charge_state * const.ELEMENTARY_CHARGE,
+            mass_number * const.PROTON_MASS,
+            tuple(output),
+        )
+
+    @staticmethod
+    def photon(output=()) -> "SpeciesSpec":
+        return SpeciesSpec("photon", "photon", 0.0, 0.0, tuple(output))
+
+
+def _empty_fields(spec: SpeciesSpec, n: int, dtype):
+    inf = np.full(n, np.inf, dtype)
+    fields = dict(
+        cell=np.zeros(n, np.int32),
+        x=np.zeros(n, dtype),
+        prev_x=np.zeros(n, dtype),
+        y=np.zeros(n, dtype),
+        z=np.zeros(n, dtype),
+        weight=np.zeros(n, dtype),
+        u=np.zeros((n, 3), dtype),
+        gamma=np.ones(n, dtype),
+        chi=np.zeros(n, dtype),
+        tau=None,
+        tau_abs=None,
+        tau_st=None,
+        work=None,
+        birth_time=None,
+        alive=np.zeros(n, bool),
+    )
+    if spec.kind == "electron":
+        fields["tau"] = inf.copy()
+        fields["work"] = np.zeros(n, dtype)
+    if spec.kind == "photon":
+        fields["gamma"] = np.zeros(n, dtype)  # |k|; 0 for dead slots
+        fields["tau_abs"] = inf.copy()
+        fields["tau_st"] = inf.copy()
+        fields["birth_time"] = np.full(n, -np.inf, dtype)
+    return fields
+
+
+def initialize(
+    spec: SpeciesSpec,
+    geom: GridGeometry,
+    npc: int,
+    density: Callable,
+    ux: Callable,
+    uy: Callable,
+    uz: Callable,
+    dt: float,
+    capacity_per_device: int,
+    seed: int = 0,
+    dtype=np.float64,
+) -> ParticleState:
+    """Sample the initial distribution (``mod.rs:172-203``), host-side.
+
+    Per interior cell: ``nreal = density(x_centre) * dx`` real particles
+    shared equally by ``npc`` macroparticles; positions uniform in the
+    cell; momenta from ``u*(x, urand, nrand)``; optical depths ~ Exp(1).
+    Returns a host-side ParticleState laid out per device: the global
+    arrays have shape (n_devices * capacity_per_device, ...) with each
+    device's particles in its own contiguous block.
+    """
+    rng = np.random.default_rng(seed)
+    fields = _empty_fields(spec, geom.n_devices * capacity_per_device, dtype)
+
+    if npc > 0:
+        cells = np.arange(geom.nx)
+        x_centre = geom.xmin + (cells + 0.5) * geom.dx
+        nreal = np.asarray(density(x_centre), dtype=np.float64) * geom.dx
+        active = nreal > 0.0
+        weights = np.where(active, nreal / npc, 0.0)
+
+        cell_rep = np.repeat(cells[active], npc)
+        w_rep = np.repeat(weights[active], npc)
+        n = cell_rep.size
+
+        xi = rng.random(n)
+        real_x = geom.xmin + (cell_rep + xi) * geom.dx
+        u = np.stack(
+            [
+                np.broadcast_to(
+                    np.asarray(f(real_x, rng.random(n), rng.standard_normal(n)),
+                               dtype=np.float64), (n,)
+                )
+                for f in (ux, uy, uz)
+            ],
+            axis=-1,
+        )
+
+        # device decomposition: owned-cell index on the owning device
+        g = cell_rep + geom.left_pad  # extended-grid cell
+        dev = g // geom.n_loc
+        local_cell = g - dev * geom.n_loc
+
+        counts = np.bincount(dev, minlength=geom.n_devices)
+        if counts.max() > capacity_per_device:
+            raise ValueError(
+                f"species {spec.name}: device particle count "
+                f"{counts.max()} exceeds capacity {capacity_per_device}"
+            )
+
+        # slot index within the owning device's block
+        order = np.argsort(dev, kind="stable")
+        slot_in_dev = np.empty(n, np.int64)
+        start = 0
+        for d, cnt in enumerate(counts):
+            sel = order[start : start + cnt]
+            slot_in_dev[sel] = np.arange(cnt)
+            start += cnt
+        slots = dev * capacity_per_device + slot_in_dev
+
+        u2 = np.sum(u * u, axis=-1)
+        if spec.kind == "photon":
+            k0 = np.sqrt(u2)
+            vx_over_c = np.where(k0 > 0, u[:, 0] / np.maximum(k0, 1e-300), 0.0)
+            gamma_like = k0
+        else:
+            gamma_like = np.sqrt(1.0 + u2)
+            vx_over_c = u[:, 0] / gamma_like
+        prev_x = xi - const.SPEED_OF_LIGHT * vx_over_c * dt / geom.dx
+
+        fields["cell"][slots] = local_cell.astype(np.int32)
+        fields["x"][slots] = xi
+        fields["prev_x"][slots] = prev_x
+        fields["weight"][slots] = w_rep
+        fields["u"][slots] = u
+        fields["gamma"][slots] = gamma_like
+        fields["alive"][slots] = True
+        if spec.kind == "electron":
+            fields["tau"][slots] = rng.exponential(size=n)
+        if spec.kind == "photon":
+            # match the reference's draw order (photon.rs:126-133)
+            rng.exponential(size=n)  # tau[0], unused
+            rng.exponential(size=n)  # tau[1], unused
+            fields["tau_abs"][slots] = rng.exponential(size=n)
+            fields["tau_st"][slots] = rng.exponential(size=n)
+            fields["birth_time"][slots] = 0.0
+
+    return ParticleState(**{k: (None if v is None else np.asarray(v)) for k, v in fields.items()})
+
+
+def kinetic_energy_weights(spec: SpeciesSpec, state: ParticleState):
+    """Per-particle kinetic energy in joules (macroparticle), using the
+    cancellation-free gamma-1 form for massive species
+    (``electron.rs:122-126``, ``ion.rs:128-134``, ``photon.rs:224-226``).
+    """
+    to_joules = 1.0e6 * const.ELECTRON_MASS_MEV * const.ELEMENTARY_CHARGE
+    u2 = jnp.sum(state.u * state.u, axis=-1)
+    if spec.kind == "photon":
+        ke = state.weight * state.gamma * to_joules
+    elif spec.kind == "ion":
+        mass_ratio = spec.mass / const.ELECTRON_MASS
+        gamma_m1 = u2 / (1.0 + jnp.sqrt(1.0 + u2))
+        ke = state.weight * gamma_m1 * mass_ratio * to_joules
+    else:
+        ke = state.weight * u2 / (state.gamma + 1.0) * to_joules
+    return jnp.where(state.alive, ke, 0.0)

@@ -1,0 +1,157 @@
+"""End-to-end PIC step tests: streaming, migration, and energy
+book-keeping, across device counts."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opal_tpu import constants as const
+from opal_tpu.grid import GridGeometry
+from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.species import SpeciesSpec, initialize
+
+C = const.SPEED_OF_LIGHT
+
+
+def _drifting_setup(ndev, nx=64, npc=4, ux=2.0, deposition=False):
+    dx = 1.0e-6
+    dt = 0.95 * dx / C
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(dt=dt, current_deposition=deposition, migration_capacity=512)
+    spec = SpeciesSpec.electron()
+    sim = Simulation(geom, opts, {"electron": spec})
+    state = initialize(
+        spec, geom, npc,
+        density=lambda x: np.full_like(x, 1.0e6),
+        ux=lambda x, u, n: np.full_like(x, ux),
+        uy=lambda x, u, n: np.zeros_like(x),
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=max(256, 2 * nx * npc // ndev), seed=7,
+    )
+    return sim, geom, opts, sim.shard_particles(state)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_streaming_conserves_particles_and_energy(ndev):
+    """Force-free drift in a periodic box: particle count and kinetic
+    energy are exactly conserved while particles migrate across every
+    device boundary."""
+    sim, geom, opts, state = _drifting_setup(ndev)
+    E, B, J, rho = sim.init_fields()
+    counters = sim.zero_counters()
+    key = jax.random.key(0)
+
+    n0 = int(jnp.sum(state.alive))
+    ke0 = sim.total_kinetic_energy("electron", state)
+    assert n0 == geom.nx * 4
+
+    nsteps = 200  # drift speed ~0.85 c -> crosses several subdomains
+    E, B, J, rho, species, t, counters = sim.run(
+        E, B, J, rho, {"electron": state}, 0.0, key, counters, nsteps
+    )
+    st = species["electron"]
+    assert int(jnp.sum(st.alive)) == n0
+    assert int(counters["electron"]) == 0
+    ke1 = sim.total_kinetic_energy("electron", st)
+    assert ke1 == pytest.approx(ke0, rel=1e-12)
+    # all particles still inside the local domain
+    cells = np.asarray(st.cell)[np.asarray(st.alive)]
+    assert cells.min() >= 0 and cells.max() < geom.n_loc
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_single_particle_trajectory_across_devices(ndev):
+    """A single particle's global position must follow x(t) = x0 + v t
+    exactly through halo crossings and periodic wrap."""
+    dx = 1.0e-6
+    dt = 0.95 * dx / C
+    nx = 32
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(dt=dt, current_deposition=False, migration_capacity=16)
+    spec = SpeciesSpec.electron()
+    sim = Simulation(geom, opts, {"electron": spec})
+
+    from opal_tpu.species import _empty_fields, ParticleState
+
+    cap = 8
+    f = _empty_fields(spec, ndev * cap, np.float64)
+    u0 = 3.0
+    gamma0 = math.sqrt(1.0 + u0 * u0)
+    f["cell"][0] = 5
+    f["x"][0] = 0.25
+    f["weight"][0] = 1.0
+    f["u"][0] = [u0, 0.0, 0.0]
+    f["gamma"][0] = gamma0
+    f["alive"][0] = True
+    state = sim.shard_particles(ParticleState(**f))
+
+    E, B, J, rho = sim.init_fields()
+    nsteps = 100
+    E, B, J, rho, species, t, counters = sim.run(
+        E, B, J, rho, {"electron": state}, 0.0, jax.random.key(0),
+        sim.zero_counters(), nsteps,
+    )
+    st = species["electron"]
+    alive = np.asarray(st.alive)
+    assert alive.sum() == 1
+    i = int(np.argmax(alive))
+    dev = i // cap
+    x_global = (dev * geom.n_loc + int(st.cell[i]) + float(st.x[i])) * dx
+    v = C * u0 / gamma0
+    expected = (5 + 0.25) * dx + v * nsteps * dt
+    expected = expected % (nx * dx)  # periodic wrap
+    assert x_global == pytest.approx(expected, abs=1e-9 * dx)
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_plasma_oscillation_total_energy(ndev):
+    """With deposition on, a uniform drifting electron slab against a
+    neutralizing background starts plasma oscillations; total (field +
+    kinetic) energy must be conserved to high accuracy."""
+    nx, npc = 64, 16
+    dx = 5.0e-7
+    dt = 0.95 * dx / C
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(dt=dt, current_deposition=True, migration_capacity=2048)
+    espec = SpeciesSpec.electron()
+    ispec = SpeciesSpec.ion("proton", 1.0, 1.0)
+    sim = Simulation(geom, opts, {"electron": espec, "proton": ispec})
+
+    ne = 1.0e24
+    cap = max(1024, 2 * nx * npc // ndev)
+    estate = initialize(
+        espec, geom, npc,
+        density=lambda x: np.full_like(x, ne),
+        ux=lambda x, u, n: np.full_like(x, 0.05),
+        uy=lambda x, u, n: np.zeros_like(x),
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=cap, seed=3,
+    )
+    istate = initialize(
+        ispec, geom, npc,
+        density=lambda x: np.full_like(x, ne),
+        ux=lambda x, u, n: np.zeros_like(x),
+        uy=lambda x, u, n: np.zeros_like(x),
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=cap, seed=4,
+    )
+    species = {
+        "electron": sim.shard_particles(estate),
+        "proton": sim.shard_particles(istate),
+    }
+    E, B, J, rho = sim.init_fields()
+
+    ke0 = sum(sim.total_kinetic_energy(n, species[n]) for n in species)
+    E, B, J, rho, species, t, counters = sim.run(
+        E, B, J, rho, species, 0.0, jax.random.key(1), sim.zero_counters(), 400
+    )
+    ke1 = sum(sim.total_kinetic_energy(n, species[n]) for n in species)
+    fe1 = sim.em_field_energy(E, B)
+    # field energy must have appeared (oscillation); the naive KE+field
+    # total mixes half-step (KE) and full-step (field) quantities, so it
+    # ripples at ~omega_p * dt — a few percent here, not a drift
+    assert fe1 > 0.01 * ke0
+    assert (ke1 + fe1) == pytest.approx(ke0, rel=0.05)
