@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import constants as const
-from .parallel import halo
 from .parallel.migrate import insert
 from .qed import cross_sections, emission
 from .species import ParticleState
@@ -59,9 +58,11 @@ def _rotate_around(v, axis, theta):
     return v * c + jnp.cross(axis, v) * s + axis * axis_dot_v * (1.0 - c)
 
 
-def emit_radiation(sim, species, counters, t, key):
-    """Emission pass over the electron population; returns updated
-    (species, counters).  ``sim`` supplies options and specs."""
+def emit_radiation(sim, species, t, key):
+    """Emission pass over the electron population; returns
+    ``(species, overflow)`` where overflow counts photons that found no
+    free buffer slot on this device.  ``sim`` supplies options/geometry
+    (any object with ``.options`` and ``.geom``)."""
     opt = sim.options
     e = species["electron"]
     ph = species["photon"]
@@ -149,14 +150,10 @@ def emit_radiation(sim, species, counters, t, key):
         alive=keep,
     )
     ph, overflow = insert(ph, buf, keep)
-    counters = {
-        **counters,
-        "photon": counters["photon"] + halo.psum(overflow, "x"),
-    }
-    return {**species, "electron": e, "photon": ph}, counters
+    return {**species, "electron": e, "photon": ph}, overflow
 
 
-def absorb(sim, species, counters, t, key):
+def absorb(sim, species, t, key):
     """Photon absorption / stimulated emission pass
     (``interactions.rs:145-340``).
 
@@ -301,7 +298,7 @@ def absorb(sim, species, counters, t, key):
     )
 
     # stimulated copies: same momentum, electron's weight, fresh depths
-    ks = jax.random.split(jax.random.fold_in(key, -1), 2)
+    ks = jax.random.split(jax.random.fold_in(key, 2_000_003), 2)
     buf = ParticleState(
         cell=ph.cell,
         x=ph.x,
@@ -320,10 +317,4 @@ def absorb(sim, species, counters, t, key):
         alive=stimulated,
     )
     ph, overflow = insert(ph, buf, stimulated)
-
-    counters = {
-        **counters,
-        "photon": counters["photon"]
-        + halo.psum(overflow + overflow_pairs, "x"),
-    }
-    return {**species, "electron": e, "photon": ph}, counters
+    return {**species, "electron": e, "photon": ph}, overflow + overflow_pairs

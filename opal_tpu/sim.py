@@ -188,16 +188,20 @@ class Simulation:
             from .interactions import absorb
 
             key, sub = jax.random.split(key)
-            species, counters = absorb(
-                self, species, counters, t, jax.random.fold_in(sub, ai)
-            )
+            species, ovf = absorb(self, species, t, jax.random.fold_in(sub, ai))
+            counters = {
+                **counters, "photon": counters["photon"] + halo.psum(ovf, "x")
+            }
         if opt.photon_emission:
             from .interactions import emit_radiation
 
             key, sub = jax.random.split(key)
-            species, counters = emit_radiation(
-                self, species, counters, t, jax.random.fold_in(sub, ai)
+            species, ovf = emit_radiation(
+                self, species, t, jax.random.fold_in(sub, ai)
             )
+            counters = {
+                **counters, "photon": counters["photon"] + halo.psum(ovf, "x")
+            }
 
         # 5: deposition
         n_slab = geom.n_loc + 2 * HALO

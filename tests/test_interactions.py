@@ -1,0 +1,282 @@
+"""QED interaction-pass tests: emission bookkeeping/statistics and
+absorption/stimulated-emission event mechanics."""
+
+import dataclasses
+import math
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opal_tpu import constants as const
+from opal_tpu.grid import GridGeometry
+from opal_tpu.interactions import absorb, emit_radiation
+from opal_tpu.qed import cross_sections, emission
+from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
+
+C = const.SPEED_OF_LIGHT
+
+
+def _state(spec, n, **overrides):
+    f = _empty_fields(spec, n, np.float64)
+    for k, v in overrides.items():
+        f[k] = v
+    return ParticleState(**{k: (None if v is None else jnp.asarray(v)) for k, v in f.items()})
+
+
+def _fake_sim(geom, **opts):
+    return SimpleNamespace(
+        geom=geom, options=SimOptions(dt=1.0e-15, **opts), specs=None
+    )
+
+
+def test_emission_momentum_conservation_and_insert():
+    n = 256
+    geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
+    sim = _fake_sim(geom, photon_emission=True)
+
+    rng = np.random.default_rng(0)
+    u = np.zeros((n, 3))
+    u[:, 0] = -1000.0 * (1 + 0.01 * rng.standard_normal(n))
+    gamma = np.sqrt(1 + np.sum(u * u, axis=-1))
+    tau = np.where(np.arange(n) % 4 == 0, -0.1, 5.0)  # every 4th emits
+    e = _state(
+        SpeciesSpec.electron(), n,
+        cell=rng.integers(0, geom.n_loc, n).astype(np.int32),
+        x=rng.random(n), weight=np.full(n, 1e10), u=u, gamma=gamma,
+        chi=np.full(n, 0.5), tau=tau, alive=np.ones(n, bool),
+    )
+    ph = _state(SpeciesSpec.photon(), 1024)
+
+    species, overflow = emit_radiation(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
+    )
+    e2, ph2 = species["electron"], species["photon"]
+    emitted = np.asarray(ph2.alive).sum()
+    assert emitted == n // 4
+    assert int(overflow) == 0
+
+    # recoil: total momentum conserved (photon momenta match electron du)
+    du = np.asarray(e.u) - np.asarray(e2.u)
+    total_recoil = du.sum(axis=0)
+    total_k = np.asarray(
+        jnp.where(ph2.alive[:, None], ph2.u, 0.0)
+    ).sum(axis=0)
+    np.testing.assert_allclose(total_recoil, total_k, rtol=1e-12)
+
+    # emitters got fresh positive optical depths; others untouched
+    tau2 = np.asarray(e2.tau)
+    emits = tau < 0
+    assert np.all(tau2[emits] > 0)
+    np.testing.assert_array_equal(tau2[~emits], tau[~emits])
+
+    # photon energy bounded by electron energy (quantum branch)
+    k0 = np.asarray(ph2.gamma)[np.asarray(ph2.alive)]
+    assert np.all(k0 > 0) and np.all(k0 < gamma.max())
+
+
+def test_emission_energy_min_filter_still_recoils():
+    n = 64
+    geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
+    sim = _fake_sim(geom, photon_emission=True, photon_energy_min=1e9)  # MeV, absurd
+    u = np.zeros((n, 3))
+    u[:, 0] = 500.0
+    gamma = np.sqrt(1 + np.sum(u * u, axis=-1))
+    e = _state(
+        SpeciesSpec.electron(), n,
+        cell=np.zeros(n, np.int32), weight=np.ones(n),
+        u=u, gamma=gamma, chi=np.full(n, 1.0),
+        tau=np.full(n, -0.5), alive=np.ones(n, bool),
+    )
+    ph = _state(SpeciesSpec.photon(), 128)
+    species, _ = emit_radiation(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(2)
+    )
+    # all photons filtered out...
+    assert int(jnp.sum(species["photon"].alive)) == 0
+    # ...but recoil happened anyway (interactions.rs:74-97 filters only
+    # control which photons are *recorded*)
+    assert float(jnp.sum(jnp.abs(species["electron"].u - e.u))) > 0
+
+
+def test_emission_rate_statistics():
+    """Photon production in a magnetic field matches rate(chi, gamma)."""
+    ndev = 1
+    nx, n_e = 64, 4096
+    dx = 1e-6
+    dt = 0.95 * dx / C
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(dt=dt, current_deposition=False, photon_emission=True)
+    espec = SpeciesSpec.electron()
+    pspec = SpeciesSpec.photon()
+    sim = Simulation(geom, opts, {"electron": espec, "photon": pspec})
+
+    gamma0 = 1000.0
+    u0 = math.sqrt(gamma0**2 - 1)
+    b0 = 1.0e3  # tesla -> chi = u B c / E_crit; R dt ~ 6e-3 per step
+    chi = u0 * C * b0 / const.CRITICAL_FIELD
+    R = float(emission.rate(chi, gamma0))
+
+    f = _empty_fields(espec, n_e, np.float64)
+    rngloc = np.random.default_rng(5)
+    f["cell"][:] = rngloc.integers(0, geom.n_loc, n_e)
+    f["x"][:] = rngloc.random(n_e)
+    f["weight"][:] = 1.0
+    f["u"][:, 2] = u0  # perpendicular to B? B along z, u along z gives chi=0
+    f["u"][:, 2] = 0.0
+    f["u"][:, 0] = u0
+    f["gamma"][:] = gamma0
+    f["tau"][:] = rngloc.exponential(size=n_e)
+    f["alive"][:] = True
+    estate = ParticleState(**{k: (None if v is None else jnp.asarray(v)) for k, v in f.items()})
+
+    phstate = _state(pspec, 65536)
+    species = {
+        "electron": sim.shard_particles(estate),
+        "photon": sim.shard_particles(phstate),
+    }
+    E, B, J, rho = sim.init_fields()
+    B = B.at[:, 2].set(b0)  # uniform B_z
+
+    nsteps = 100
+    E, B, J, rho, species, t, counters = sim.run(
+        E, B, J, rho, species, 0.0, jax.random.key(3), sim.zero_counters(), nsteps
+    )
+    n_ph = int(jnp.sum(species["photon"].alive))
+    expected = n_e * R * dt * nsteps
+    # recoil reduces chi slightly over time; allow 15%
+    assert n_ph == pytest.approx(expected, rel=0.15), (n_ph, expected, chi)
+    assert int(counters["photon"]) == 0
+
+
+def _pair_setup(chi_g, chi_e, k0=0.1, gamma=10.0):
+    """One photon + one electron, head-on, same cell."""
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    u_e = -math.sqrt(gamma**2 - 1)
+    e = _state(
+        SpeciesSpec.electron(), 4,
+        cell=np.array([3, 0, 0, 0], np.int32),
+        weight=np.array([2.0e10, 0, 0, 0]),
+        u=np.array([[u_e, 0, 0]] * 4),
+        gamma=np.full(4, gamma),
+        chi=np.full(4, chi_e),
+        alive=np.array([True, False, False, False]),
+    )
+    ph = _state(
+        SpeciesSpec.photon(), 8,
+        cell=np.array([3] + [0] * 7, np.int32),
+        weight=np.array([1.0e10] + [0] * 7),
+        u=np.array([[k0, 0, 0]] * 8),
+        gamma=np.full(8, k0),
+        chi=np.full(8, chi_g),
+        alive=np.array([True] + [False] * 7),
+    )
+    return geom, e, ph
+
+
+def test_absorption_event_kick():
+    """Force an absorption event (tiny optical depth) and check the
+    momentum transfer du = (w_ph / w_e) k and photon removal."""
+    chi_g, chi_e = 2.0, 1.0  # chi_g >= chi_e forbids stimulated emission
+    geom, e, ph = _pair_setup(chi_g, chi_e)
+    ph = dataclasses.replace(
+        ph, tau_abs=jnp.full(8, 1e-30), tau_st=jnp.full(8, 1e30)
+    )
+    sim = _fake_sim(geom, photon_absorption=True)
+
+    # the pair must actually have a nonzero cross section
+    k4 = np.array([0.1, 0.1, 0, 0])
+    p4 = np.array([10.0, -math.sqrt(10.0**2 - 1), 0, 0])
+    sigma, valid = cross_sections.photon_absorption(k4, p4, chi_g, chi_e)
+    assert bool(valid) and float(sigma) > 0
+
+    species, overflow = absorb(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(0)
+    )
+    e2, ph2 = species["electron"], species["photon"]
+    assert int(jnp.sum(ph2.alive)) == 0  # photon absorbed
+    du = np.asarray(e2.u[0] - e.u[0])
+    expected = (1.0e10 / 2.0e10) * np.array([0.1, 0.0, 0.0])
+    np.testing.assert_allclose(du, expected, rtol=1e-12)
+    assert float(e2.gamma[0]) == pytest.approx(
+        math.sqrt(1 + np.sum(np.asarray(e2.u[0]) ** 2)), rel=1e-12
+    )
+
+
+def test_stimulated_emission_event():
+    """Force a stimulated-emission event: a photon copy appears with the
+    electron's weight and the electron recoils by -k."""
+    chi_g, chi_e = 0.2, 1.0  # allowed: chi_g < chi_e and k0 < p0
+    geom, e, ph = _pair_setup(chi_g, chi_e)
+    ph = dataclasses.replace(
+        ph, tau_abs=jnp.full(8, 1e30), tau_st=jnp.full(8, 1e-30)
+    )
+    sim = _fake_sim(geom, photon_absorption=True)
+
+    species, overflow = absorb(
+        sim, {"electron": e, "photon": ph}, 7.5e-14, jax.random.key(0)
+    )
+    e2, ph2 = species["electron"], species["photon"]
+    alive = np.asarray(ph2.alive)
+    assert alive.sum() == 2  # original + stimulated copy
+    # the copy carries the electron's weight
+    weights = np.sort(np.asarray(ph2.weight)[alive])
+    np.testing.assert_allclose(weights, [1.0e10, 2.0e10])
+    # electron recoil: du = -k (unscaled, interactions.rs:328-334)
+    du = np.asarray(e2.u[0] - e.u[0])
+    np.testing.assert_allclose(du, [-0.1, 0.0, 0.0], rtol=1e-12)
+    # the copy records its birth time
+    bt = np.asarray(ph2.birth_time)[alive]
+    assert np.max(bt) == pytest.approx(7.5e-14)
+
+
+def test_absorption_probability_statistics():
+    """Over many photons, the per-step event probability matches
+    P = w_e (c dt / dx) sigma."""
+    chi_g, chi_e, k0, gamma = 2.0, 1.0, 0.1, 10.0
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    dt = 1.0e-15
+    sim = SimpleNamespace(
+        geom=geom,
+        options=SimOptions(dt=dt, photon_absorption=True),
+    )
+
+    k4 = np.array([k0, k0, 0, 0])
+    u_e = -math.sqrt(gamma**2 - 1)
+    p4 = np.array([gamma, u_e, 0, 0])
+    sigma, _ = cross_sections.photon_absorption(k4, p4, chi_g, chi_e)
+    assert float(sigma) > 0
+    # choose the macro-electron weight for a 5% per-step event probability
+    w_e = 0.05 / ((C * dt / geom.dx) * float(sigma))
+    p_event = w_e * (C * dt / geom.dx) * float(sigma)
+
+    n_ph = 20000
+    e = _state(
+        SpeciesSpec.electron(), 4,
+        cell=np.array([3, 0, 0, 0], np.int32),
+        weight=np.array([w_e, 0, 0, 0]),
+        u=np.array([[u_e, 0, 0]] * 4),
+        gamma=np.full(4, gamma),
+        chi=np.full(4, chi_e),
+        alive=np.array([True, False, False, False]),
+    )
+    rng = np.random.default_rng(8)
+    ph = _state(
+        SpeciesSpec.photon(), n_ph,
+        cell=np.full(n_ph, 3, np.int32),
+        weight=np.full(n_ph, 1.0),
+        u=np.array([[k0, 0, 0]] * n_ph),
+        gamma=np.full(n_ph, k0),
+        chi=np.full(n_ph, chi_g),
+        tau_abs=rng.exponential(size=n_ph),
+        tau_st=np.full(n_ph, 1e30),
+        alive=np.ones(n_ph, bool),
+    )
+    species, _ = absorb(sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(4))
+    absorbed = n_ph - int(jnp.sum(species["photon"].alive))
+    expected = n_ph * (1.0 - math.exp(-p_event))
+    sd = math.sqrt(expected)
+    assert abs(absorbed - expected) < 5 * sd, (absorbed, expected)
