@@ -1,0 +1,121 @@
+"""Benchmark: macroparticle push throughput of the full PIC step.
+
+Runs a two-stream-style workload (periodic box, Vay push, deposition
+on — the reference's ``examples/two_stream.yaml`` physics at
+benchmark scale) for a timed block of steps on the default device(s),
+and prints ONE json line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` compares against an *estimated* single-CPU-node
+throughput of the reference implementation: the reference publishes
+no numbers (BASELINE.md), and Rust/cargo is not available in this
+image to measure it.  The estimate is 64 cores x 5e6 pushes/s/core =
+3.2e8 macroparticle-pushes/s — typical for Vay-push + Esirkepov
+deposition PIC codes of this class on a modern node.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_NODE_PUSHES_PER_SEC = 3.2e8  # estimated reference CPU node
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--particles", type=float, default=2.0e7)
+    parser.add_argument("--nx", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--f64", action="store_true")
+    parser.add_argument("--deposition", action="store_true", default=True)
+    parser.add_argument("--no-deposition", dest="deposition", action="store_false")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from opal_tpu import constants as const
+    from opal_tpu.grid import GridGeometry
+    from opal_tpu.sim import SimOptions, Simulation
+    from opal_tpu.species import SpeciesSpec, initialize
+
+    ndev = args.devices or len(jax.devices())
+    nx = args.nx - args.nx % ndev
+    npc = max(1, int(args.particles) // nx)
+    n_particles = nx * npc
+
+    dx = 500.0
+    dt = 0.95 * dx / const.SPEED_OF_LIGHT
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(
+        dt=dt, current_deposition=args.deposition,
+        migration_capacity=max(4096, n_particles // ndev // 64),
+    )
+    espec = SpeciesSpec.electron()
+    sim = Simulation(
+        geom, opts, {"electron": espec},
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+
+    drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
+    cap = int(n_particles // ndev * 1.25)
+    state = initialize(
+        espec, geom, npc,
+        density=lambda x: np.full_like(x, 20.0),
+        ux=lambda x, u, n: drift * (1.0 + 0.001 * n) * np.sign(u - 0.5),
+        uy=lambda x, u, n: np.zeros_like(x),
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=cap, seed=0,
+        dtype=np.float64 if args.f64 else np.float32,
+    )
+    species = {"electron": sim.shard_particles(state)}
+    E, B, J, rho = sim.init_fields()
+    counters = sim.zero_counters()
+    key = jax.random.key(0)
+
+    # warmup / compile
+    t0 = time.monotonic()
+    out = sim.run(E, B, J, rho, species, 0.0, key, counters, 3)
+    jax.block_until_ready(out)
+    compile_s = time.monotonic() - t0
+    E, B, J, rho, species, t, counters = out
+
+    t0 = time.monotonic()
+    out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
+    jax.block_until_ready(out)
+    elapsed = time.monotonic() - t0
+
+    pushes_per_sec = n_particles * args.steps / elapsed
+    if args.verbose:
+        print(
+            f"# device={jax.devices()[0].device_kind} x{ndev} "
+            f"N={n_particles:.3g} steps={args.steps} "
+            f"compile={compile_s:.1f}s run={elapsed:.2f}s "
+            f"steps/s={args.steps / elapsed:.2f}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "macroparticle-pushes/sec/chip",
+                "value": pushes_per_sec / ndev,
+                "unit": "pushes/s",
+                "vs_baseline": pushes_per_sec / BASELINE_NODE_PUSHES_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,319 @@
+"""Command-line driver: ``python -m opal_tpu input.yaml``.
+
+Reproduces the reference's program lifecycle (``src/main.rs:48-286``):
+read the YAML configuration, build the grid and particle populations,
+then alternate output dumps with blocks of simulation steps, printing
+runtime/ETA progress lines.  Output files land next to the input file,
+as in the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from . import constants as const
+from .config import Config, ConfigError
+from .diagnostics import output as out
+from .diagnostics.progress import ettc, pretty_duration, simulation_time
+from .grid import GridGeometry
+from .species import SpeciesSpec, initialize
+
+
+def _required_capacity(geom: GridGeometry, npc: int, density) -> int:
+    """Worst-case per-device particle count for an initial sampling."""
+    if npc <= 0:
+        return 8
+    cells = np.arange(geom.nx)
+    x_centre = geom.xmin + (cells + 0.5) * geom.dx
+    ne = np.broadcast_to(
+        np.asarray(density(x_centre), dtype=np.float64), x_centre.shape
+    )
+    active = ne * geom.dx > 0.0
+    g = cells[active] + geom.left_pad
+    dev = g // geom.n_loc
+    counts = np.bincount(dev, minlength=geom.n_devices)
+    return int(counts.max()) * npc
+
+
+def _round_up(n: int, m: int = 8) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def build(path: Path, n_devices: int | None = None, dtype=None):
+    """Parse an input file and construct the Simulation plus initial
+    state.  Returns (sim, state-dict, run-parameters)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sim import SimOptions, Simulation
+
+    input_cfg = Config.from_file(path)
+    input_cfg.with_context("constants")
+
+    nx = input_cfg.read_usize("control", "nx")
+    xmin = input_cfg.read_f64("control", "xmin")
+    dx = input_cfg.read_f64("control", "dx")
+    dt = 0.95 * dx / const.SPEED_OF_LIGHT
+    tstart = input_cfg.read_f64("control", "start")
+    tend = input_cfg.read_f64("control", "end")
+    current_deposition = input_cfg.read_bool("control", "current_deposition")
+    n_outputs = input_cfg.read_usize("control", "n_outputs")
+
+    photon_emission = input_cfg.read_bool("qed", "photon_emission")
+    photon_absorption = input_cfg.read_bool("qed", "photon_absorption")
+    # joules -> MeV (main.rs:81)
+    _pe_min = input_cfg.read_opt_f64("qed", "photon_energy_min")
+    photon_energy_min = (
+        None if _pe_min is None else 1.0e-6 * _pe_min / const.ELEMENTARY_CHARGE
+    )
+    photon_angle_max = input_cfg.read_opt_f64("qed", "photon_angle_max")
+    max_formation_length = input_cfg.read_opt_f64("qed", "max_formation_length")
+    # NOTE: the reference passes disable_qed_after into absorb()'s
+    # max_displacement (metres) parameter and disable_absorption_after
+    # into stop_time (main.rs:84-85, 246-248); mapping preserved.
+    max_displacement = input_cfg.read_opt_f64("qed", "disable_qed_after")
+    stop_time = input_cfg.read_opt_f64("qed", "disable_absorption_after")
+
+    # laser section present -> laser/absorbing boundaries (main.rs:95-101)
+    if input_cfg.contains("laser"):
+        laser_y = input_cfg.func2("laser", "Ey", ("t", "x"))
+        laser_z = input_cfg.func2("laser", "Ez", ("t", "x"))
+        left_bdy, right_bdy = "laser", "absorbing"
+    else:
+        laser_y = laser_z = None
+        left_bdy, right_bdy = "periodic", "periodic"
+
+    # optional TPU-runtime tuning (an opal_tpu extension section)
+    def tpu_opt(field, default):
+        try:
+            return input_cfg.read_f64("tpu", field)
+        except ConfigError:
+            return default
+
+    if n_devices is None:
+        n_devices = int(tpu_opt("devices", 0)) or len(jax.devices())
+
+    geom = GridGeometry(
+        nx=nx, dx=dx, xmin=xmin, n_devices=n_devices,
+        left_boundary=left_bdy, right_boundary=right_bdy,
+    )
+
+    capacity_factor = tpu_opt("capacity_factor", 1.5)
+    migration_capacity = int(tpu_opt("migration_capacity", 16384))
+    absorption_candidates = int(tpu_opt("absorption_candidates", 256))
+    seed = int(tpu_opt("seed", 0))
+
+    options = SimOptions(
+        dt=dt,
+        current_deposition=current_deposition,
+        photon_emission=photon_emission,
+        photon_absorption=photon_absorption,
+        photon_energy_min=photon_energy_min,
+        photon_angle_max=photon_angle_max,
+        max_formation_length=max_formation_length,
+        max_displacement=max_displacement,
+        absorption_stop_time=stop_time,
+        migration_capacity=migration_capacity,
+        absorption_candidates=absorption_candidates,
+        seed=seed,
+    )
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+
+    # ---- species ------------------------------------------------------
+    specs: dict[str, SpeciesSpec] = {}
+    states = {}
+    capacities = {}
+
+    epc = input_cfg.read_usize("electrons", "npc")
+    eospec = input_cfg.read_strings("electrons", "output")
+    especs = SpeciesSpec.electron(eospec)
+    specs["electron"] = especs
+    if epc > 0:
+        ne = input_cfg.func("electrons", "ne", "x")
+        ux = input_cfg.func3("electrons", "ux", ("x", "urand", "nrand"))
+        uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
+        uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
+        cap = _round_up(int(_required_capacity(geom, epc, ne) * capacity_factor))
+        states["electron"] = initialize(
+            especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed, dtype=np_dtype
+        )
+        capacities["electron"] = cap
+    else:
+        cap = 8
+        states["electron"] = initialize(
+            especs, geom, 0, lambda x: x * 0, None, None, None, dt, cap,
+            seed=seed, dtype=np_dtype,
+        )
+        capacities["electron"] = cap
+
+    ipc = input_cfg.read_usize("ions", "npc")
+    if ipc > 0:
+        iname = input_cfg.read_string("ions", "name")
+        z = input_cfg.read_f64("ions", "Z")
+        a = input_cfg.read_f64("ions", "A")
+        iospec = input_cfg.read_strings("ions", "output")
+        ispecs = SpeciesSpec.ion(iname, z, a, iospec)
+        ni = input_cfg.func("ions", "ni", "x")
+        ux = input_cfg.func3("ions", "ux", ("x", "urand", "nrand"))
+        uy = input_cfg.func3("ions", "uy", ("x", "urand", "nrand"))
+        uz = input_cfg.func3("ions", "uz", ("x", "urand", "nrand"))
+        cap = _round_up(int(_required_capacity(geom, ipc, ni) * capacity_factor))
+        specs["ion"] = ispecs
+        states["ion"] = initialize(
+            ispecs, geom, ipc, ni, ux, uy, uz, dt, cap, seed=seed + 1,
+            dtype=np_dtype,
+        )
+        capacities["ion"] = cap
+
+    if photon_emission or photon_absorption:
+        ppc = input_cfg.read_usize("photons", "npc")
+        pospec = input_cfg.read_strings("photons", "output")
+        pspecs = SpeciesSpec.photon(pospec)
+        specs["photon"] = pspecs
+        pcap = int(tpu_opt("photon_capacity", 0))
+        if pcap == 0:
+            pcap = max(4096, 4 * capacities["electron"])
+        pcap = _round_up(pcap)
+        if ppc > 0:
+            nph = input_cfg.func("photons", "nph", "x")
+            ux = input_cfg.func3("photons", "ux", ("x", "urand", "nrand"))
+            uy = input_cfg.func3("photons", "uy", ("x", "urand", "nrand"))
+            uz = input_cfg.func3("photons", "uz", ("x", "urand", "nrand"))
+            states["photon"] = initialize(
+                pspecs, geom, ppc, nph, ux, uy, uz, dt, pcap, seed=seed + 2,
+                dtype=np_dtype,
+            )
+        else:
+            states["photon"] = initialize(
+                pspecs, geom, 0, lambda x: x * 0, None, None, None, dt, pcap,
+                seed=seed + 2, dtype=np_dtype,
+            )
+        capacities["photon"] = pcap
+
+    sim = Simulation(
+        geom, options, specs, laser_y=laser_y, laser_z=laser_z, dtype=dtype
+    )
+    species = {k: sim.shard_particles(v) for k, v in states.items()}
+
+    total_steps = int((tend - tstart) / dt)
+    run_params = dict(
+        tstart=tstart, tend=tend, n_outputs=n_outputs,
+        total_steps=total_steps, capacities=capacities,
+    )
+    return sim, species, run_params
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="opal_tpu", description="TPU-native 1d3v PIC simulation"
+    )
+    parser.add_argument("input", help="path to YAML input configuration")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="number of mesh devices (default: all)")
+    parser.add_argument("--f32", action="store_true",
+                        help="run in float32 (default float64)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    path = Path(args.input)
+    output_dir = path.parent
+
+    try:
+        sim, species, rp = build(
+            path, n_devices=args.devices,
+            dtype=jnp.float32 if args.f32 else jnp.float64,
+        )
+    except (ConfigError, ValueError) as exc:
+        print(f"opal_tpu: {exc}", file=sys.stderr)
+        print("Usage: python -m opal_tpu input-file", file=sys.stderr)
+        return 1
+    geom, opt = sim.geom, sim.options
+
+    n_outputs = rp["n_outputs"]
+    total_steps = rp["total_steps"]
+    steps_bt_output = max(total_steps // max(n_outputs, 1), 1)
+
+    ndev = geom.n_devices
+    kind = jax.devices()[0].device_kind
+    print(
+        f"Running {ndev} task{'s' if ndev > 1 else ''} "
+        f"on {kind} ({geom.n_loc} cells/device)..."
+    )
+    if not opt.radiation_reaction:
+        print("[radiation reaction disabled, using classical emission rates]")
+    if not opt.beaming:
+        print("[neglecting angular component of photon spectrum]")
+    if not opt.stimulated_emission and opt.photon_absorption:
+        print("[stimulated emission disabled, running with absorption only]")
+    if opt.immobile_photons:
+        print("[photon push disabled]")
+
+    E, B, J, rho = sim.init_fields()
+    counters = sim.zero_counters()
+    key = jax.random.key(opt.seed)
+    t = rp["tstart"]
+    runtime = time.monotonic()
+
+    def dump(index):
+        out.write_grid_data(output_dir, index, E, B, J, rho, geom)
+        for skey, spec in sim.specs.items():
+            out.write_particle_outputs(
+                output_dir, index, spec, species[skey], geom,
+                rp["capacities"][skey],
+            )
+        fe = sim.em_field_energy(E, B)
+        ee = sim.total_kinetic_energy("electron", species["electron"])
+        ie = (
+            sim.total_kinetic_energy("ion", species["ion"])
+            if "ion" in species else 0.0
+        )
+        pe = (
+            sim.total_kinetic_energy("photon", species["photon"])
+            if "photon" in species else 0.0
+        )
+        out.write_energies(output_dir, index, fe, ee, ie, pe)
+
+    for i in range(n_outputs):
+        dump(i)
+        if i > 0:
+            print(
+                f"Output {i: >4} at t = {simulation_time(t)}, "
+                f"RT = {pretty_duration(time.monotonic() - runtime)}, "
+                f"ETTC = {pretty_duration(ettc(runtime, i * steps_bt_output, n_outputs * steps_bt_output))}..."
+            )
+        else:
+            print(f"Output {i: >4} at t = {simulation_time(t)}...")
+        sys.stdout.flush()
+
+        key, sub = jax.random.split(key)
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, species, float(t), sub, counters, steps_bt_output
+        )
+        lost = {k: int(v) for k, v in counters.items() if int(v) > 0}
+        if lost:
+            print(f"warning: buffer-overflow particle losses: {lost}",
+                  file=sys.stderr)
+
+    dump(n_outputs)
+    print(
+        f"Output {n_outputs: >4} at t = {simulation_time(float(t))}, "
+        f"RT = {pretty_duration(time.monotonic() - runtime)}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

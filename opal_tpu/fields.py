@@ -126,6 +126,7 @@ class FieldSolver:
             return jax.shard_map(
                 partial(device_fn, nsteps=nsteps),
                 mesh=self.mesh,
+                check_vma=False,
                 in_specs=(P("x", None), P("x", None), P()),
                 out_specs=(P("x", None), P("x", None), P()),
             )(E, B, t0)

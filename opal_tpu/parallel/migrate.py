@@ -24,16 +24,21 @@ from ..species import ParticleState
 
 
 def _pack(state: ParticleState, mask, cap: int):
-    """Gather up to ``cap`` masked particles into a send buffer.
+    """Scatter up to ``cap`` masked particles into a compact send
+    buffer — O(N) prefix-sum compaction, no sort.
 
     Returns (buffer pytree, valid mask (cap,), n_masked).
     """
-    n = mask.shape[0]
-    order = jnp.argsort(~mask)  # leavers first, stable
-    take = order[:cap]
+    rank = jnp.cumsum(mask) - 1  # buffer slot for each masked particle
     n_mask = jnp.sum(mask)
+    dest = jnp.where(mask & (rank < cap), rank, cap)  # cap -> dropped
+
+    def put(a):
+        out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
+        return out.at[dest].set(a, mode="drop")
+
+    buf = tree_util.tree_map(put, state)
     valid = jnp.arange(cap) < n_mask
-    buf = tree_util.tree_map(lambda a: a[take], state)
     return buf, valid, n_mask
 
 
@@ -131,12 +136,20 @@ def insert(state: ParticleState, buf: ParticleState, valid):
     """
     n = state.alive.shape[0]
     m = valid.shape[0]
-    free_order = jnp.argsort(state.alive)  # dead slots first
-    n_free = jnp.sum(~state.alive)
+    dead = ~state.alive
+    n_free = jnp.sum(dead)
+
+    # compact the indices of the first min(m, n_free) dead slots into a
+    # (m,)-sized table via prefix-sum scatter — O(N), no sort
+    free_rank = jnp.cumsum(dead) - 1
+    table_dest = jnp.where(dead & (free_rank < m), free_rank, m)
+    slots = jnp.full((m,), n, jnp.int32).at[table_dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
 
     rank = jnp.cumsum(valid) - 1  # destination rank among valid entries
-    ok = valid & (rank < n_free) & (rank < n)
-    dest = free_order[jnp.clip(rank, 0, n - 1)]
+    ok = valid & (rank < n_free) & (rank < m)
+    dest = slots[jnp.clip(rank, 0, m - 1)]
     # route rejected entries to a dummy slot index n (dropped by scatter)
     dest = jnp.where(ok, dest, n)
 

@@ -252,6 +252,7 @@ class Simulation:
             return jax.shard_map(
                 partial(device_fn, nsteps=nsteps),
                 mesh=self.mesh,
+                check_vma=False,
                 in_specs=(
                     P("x", None), P("x", None), P("x", None), P("x"),
                     sp_specs, P(), P(), P(),

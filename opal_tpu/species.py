@@ -168,7 +168,12 @@ def initialize(
     if npc > 0:
         cells = np.arange(geom.nx)
         x_centre = geom.xmin + (cells + 0.5) * geom.dx
-        nreal = np.asarray(density(x_centre), dtype=np.float64) * geom.dx
+        nreal = (
+            np.broadcast_to(
+                np.asarray(density(x_centre), dtype=np.float64), x_centre.shape
+            )
+            * geom.dx
+        )
         active = nreal > 0.0
         weights = np.where(active, nreal / npc, 0.0)
 
