@@ -84,9 +84,10 @@ def main(argv=None):
     counters = sim.zero_counters()
     key = jax.random.key(0)
 
-    # warmup / compile
+    # warmup / compile — same nsteps as the timed block so the single
+    # cached executable is reused (nsteps is a static argument)
     t0 = time.monotonic()
-    out = sim.run(E, B, J, rho, species, 0.0, key, counters, 3)
+    out = sim.run(E, B, J, rho, species, 0.0, key, counters, args.steps)
     jax.block_until_ready(out)
     compile_s = time.monotonic() - t0
     E, B, J, rho, species, t, counters = out

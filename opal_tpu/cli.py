@@ -20,7 +20,7 @@ from . import constants as const
 from .config import Config, ConfigError
 from .diagnostics import output as out
 from .diagnostics.progress import ettc, pretty_duration, simulation_time
-from .grid import GridGeometry
+from .grid import GridGeometry, balanced_counts, load_imbalance
 from .species import SpeciesSpec, initialize
 
 
@@ -63,6 +63,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     tend = input_cfg.read_f64("control", "end")
     current_deposition = input_cfg.read_bool("control", "current_deposition")
     n_outputs = input_cfg.read_usize("control", "n_outputs")
+    try:
+        balance = input_cfg.read_bool("control", "balance")
+    except ConfigError:
+        balance = True  # balance by default (main.rs:76)
 
     photon_emission = input_cfg.read_bool("qed", "photon_emission")
     photon_absorption = input_cfg.read_bool("qed", "photon_absorption")
@@ -136,8 +140,19 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     eospec = input_cfg.read_strings("electrons", "output")
     especs = SpeciesSpec.electron(eospec)
     specs["electron"] = especs
+    balance_info = None
     if epc > 0:
         ne = input_cfg.func("electrons", "ne", "x")
+        if balance:
+            # Reference's density-balanced split (grid/mod.rs:157-206).
+            # On TPU the field shards stay uniform (SPMD shapes); the
+            # balanced counts quantify the imbalance and the worst-slab
+            # capacity already covers it (see grid.balanced_counts).
+            counts = balanced_counts(nx, xmin, dx, n_devices, ne)
+            balance_info = dict(
+                counts=counts.tolist(),
+                imbalance=load_imbalance(geom, ne),
+            )
         ux = input_cfg.func3("electrons", "ux", ("x", "urand", "nrand"))
         uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
@@ -207,6 +222,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     run_params = dict(
         tstart=tstart, tend=tend, n_outputs=n_outputs,
         total_steps=total_steps, capacities=capacities,
+        balance_info=balance_info,
     )
     return sim, species, run_params
 
@@ -222,7 +238,18 @@ def main(argv=None) -> int:
                         help="run in float32 (default float64)")
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
+
+    # Site hooks may pre-register a TPU plugin as the default platform;
+    # honour an explicit JAX_PLATFORMS=cpu request regardless.
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "cpu" in env_platforms.split(","):
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
 
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
@@ -260,6 +287,13 @@ def main(argv=None) -> int:
         print("[stimulated emission disabled, running with absorption only]")
     if opt.immobile_photons:
         print("[photon push disabled]")
+    bi = rp.get("balance_info")
+    if bi is not None and bi["imbalance"] > 1.5:
+        print(
+            f"[density-balanced split would use cells/task = {bi['counts']}; "
+            f"uniform slabs carry a {bi['imbalance']:.2f}x worst-case "
+            f"particle load — capacity is sized for the heaviest slab]"
+        )
 
     E, B, J, rho = sim.init_fields()
     counters = sim.zero_counters()

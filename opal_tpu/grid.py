@@ -108,6 +108,57 @@ class GridGeometry:
         return self.xmin + np.arange(self.nx, dtype=np.float64) * self.dx
 
 
+def balanced_counts(
+    nx: int, xmin: float, dx: float, n_tasks: int,
+    ne, min_subsize: int = 2 * HALO,
+) -> np.ndarray:
+    """Density-balanced domain split (reference
+    ``src/grid/mod.rs:157-206``): per-task interior cell counts chosen
+    so each task holds approximately the same number of real electrons
+    (equal ∫ne dx), every task owning at least ``min_subsize`` cells.
+
+    TPU deviation (documented per SURVEY §2 C8): SPMD requires
+    uniform shard shapes, so the *field* decomposition stays equal-size
+    (``GridGeometry``); the balanced counts instead size the uniform
+    per-device particle capacity and report the load-imbalance factor.
+    The algorithm itself is kept bit-compatible with the reference:
+    cumulative sum of ``dx * ne(x)`` over cells ``[0, nx - min_subsize)``
+    with target ``total / n_tasks``, each boundary advanced at least
+    ``min_subsize`` cells past the previous one.
+    """
+    if n_tasks <= 0:
+        raise ValueError("n_tasks must be positive")
+    x = xmin + dx * np.arange(nx - min_subsize, dtype=np.float64)
+    ppc = dx * np.broadcast_to(
+        np.asarray(ne(x), dtype=np.float64), x.shape
+    )
+    cumsum = np.cumsum(ppc)
+    target = cumsum[-1] / n_tasks if cumsum.size else 0.0
+    counts = []
+    start = 0
+    for p in range(1, n_tasks):
+        tail = cumsum[start + min_subsize:]
+        i = int(np.argmax(tail >= target * p)) if tail.size else 0
+        if tail.size and not (tail >= target * p).any():
+            i = tail.size - 1
+        counts.append(i + min_subsize)
+        start += i + min_subsize
+    counts.append(nx - sum(counts))
+    return np.asarray(counts, dtype=np.int64)
+
+
+def load_imbalance(geom: GridGeometry, ne) -> float:
+    """Ratio of the heaviest uniform slab's particle weight to the
+    mean — 1.0 means the equal-size split is already balanced."""
+    x = geom.interior_x()
+    w = np.broadcast_to(np.asarray(ne(x), dtype=np.float64), x.shape)
+    per_dev = np.zeros(geom.n_devices)
+    dev = (np.arange(geom.nx) + geom.left_pad) // geom.n_loc
+    np.add.at(per_dev, dev, w)
+    mean = per_dev.mean()
+    return float(per_dev.max() / mean) if mean > 0 else 1.0
+
+
 def global_cells(geom: GridGeometry, axis_index):
     """Extended-grid index of each owned slab cell on this device."""
     return axis_index * geom.n_loc + jnp.arange(geom.n_loc)

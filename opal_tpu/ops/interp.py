@@ -26,6 +26,19 @@ def weight(xi):
     return jnp.where(xhat > 1.5, 0.0, jnp.where(xhat < 0.5, inner, outer))
 
 
+def _copysign(v, s):
+    """|v| with the sign of ``s``, without bit operations.
+
+    ``jnp.copysign`` lowers through signbit -> s64 bitcast-convert,
+    which the TPU X64 rewriting pass does not implement; this variant
+    keeps f64-on-TPU compilable.  Signed zero is honoured via the sign
+    of 1/s (1/±0 = ±inf), matching Rust's f64::copysign for all finite
+    and zero arguments.
+    """
+    pos = jnp.where(s == 0.0, 1.0 / s > 0.0, s > 0.0)
+    return jnp.where(pos, jnp.abs(v), -jnp.abs(v))
+
+
 def flux(x_i, x_f):
     """Amount of (triangle-shaped) particle crossing a boundary that
     moves from displacement ``x_i`` to ``x_f`` relative to the particle
@@ -34,15 +47,15 @@ def flux(x_i, x_f):
     """
     ai, af = jnp.abs(x_i), jnp.abs(x_f)
     # case 1: |x_i| < 1, |x_f| >= 1 -> v = (1-|x_i|)^2/2, sign of -x_i
-    v1 = jnp.copysign(0.5 * (1.0 - ai) ** 2, -x_i)
+    v1 = _copysign(0.5 * (1.0 - ai) ** 2, -x_i)
     # case 2: same sign -> difference of half-squares, sign of x_i - x_f
-    v2 = jnp.copysign(
+    v2 = _copysign(
         0.5 * (1.0 - af) ** 2 - 0.5 * (1.0 - ai) ** 2, x_i - x_f
     )
     # case 3: opposite signs -> sum of both triangles, sign of x_i
-    v3 = jnp.copysign(ai * (1.0 - 0.5 * ai) + af * (1.0 - 0.5 * af), x_i)
+    v3 = _copysign(ai * (1.0 - 0.5 * ai) + af * (1.0 - 0.5 * af), x_i)
     # case 4: |x_i| >= 1, |x_f| < 1 -> (1-|x_f|)^2/2, sign of x_f
-    v4 = jnp.copysign(0.5 * (1.0 - af) ** 2, x_f)
+    v4 = _copysign(0.5 * (1.0 - af) ** 2, x_f)
 
     inner_i = ai < 1.0
     inner_f = af < 1.0

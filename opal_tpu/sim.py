@@ -273,7 +273,8 @@ class Simulation:
         return zero_fields(self.geom, self.mesh, self.dtype)
 
     def zero_counters(self):
-        return {name: jnp.zeros((), jnp.int64) for name in self.specs}
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        return {name: jnp.zeros((), itype) for name in self.specs}
 
     def run(self, E, B, J, rho, species, t0, key, counters, nsteps: int):
         """Advance ``nsteps`` steps; returns (E, B, J, rho, species, t,
