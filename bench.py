@@ -39,7 +39,18 @@ def main(argv=None):
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
+
+    # Honour an explicit JAX_PLATFORMS=cpu even when a TPU plugin
+    # pre-registered itself as the default platform.
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "cpu" in env_platforms.split(","):
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)
@@ -48,7 +59,7 @@ def main(argv=None):
     from opal_tpu import constants as const
     from opal_tpu.grid import GridGeometry
     from opal_tpu.sim import SimOptions, Simulation
-    from opal_tpu.species import SpeciesSpec, initialize
+    from opal_tpu.species import SpeciesSpec, initialize_device
 
     ndev = args.devices or len(jax.devices())
     nx = args.nx - args.nx % ndev
@@ -70,16 +81,18 @@ def main(argv=None):
 
     drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
     cap = int(n_particles // ndev * 1.25)
-    state = initialize(
-        espec, geom, npc,
-        density=lambda x: np.full_like(x, 20.0),
-        ux=lambda x, u, n: drift * (1.0 + 0.001 * n) * np.sign(u - 0.5),
-        uy=lambda x, u, n: np.zeros_like(x),
-        uz=lambda x, u, n: np.zeros_like(x),
+    # particles are generated on their owning devices: nothing big
+    # crosses host->device (matters on remote-attached TPUs)
+    state = initialize_device(
+        espec, geom, sim.mesh, npc,
+        density=lambda x: jnp.full_like(jnp.asarray(x), 20.0),
+        ux=lambda x, u, n: drift * (1.0 + 0.001 * n) * jnp.sign(u - 0.5),
+        uy=lambda x, u, n: jnp.zeros_like(x),
+        uz=lambda x, u, n: jnp.zeros_like(x),
         dt=dt, capacity_per_device=cap, seed=0,
-        dtype=np.float64 if args.f64 else np.float32,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
     )
-    species = {"electron": sim.shard_particles(state)}
+    species = {"electron": state}
     E, B, J, rho = sim.init_fields()
     counters = sim.zero_counters()
     key = jax.random.key(0)

@@ -63,8 +63,13 @@ def write_image(path: str | Path, data: np.ndarray, keys: list[tuple]) -> None:
     cards.append(_plain_card("END"))
 
     header = b"".join(cards)
-    header += b" " * (-len(header) % BLOCK)
 
+    from .. import native
+
+    if native.write_fits_image(path, header, data):
+        return
+
+    header += b" " * (-len(header) % BLOCK)
     payload = data.astype(">f8").tobytes()
     payload += b"\x00" * (-len(payload) % BLOCK)
 

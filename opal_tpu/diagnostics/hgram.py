@@ -104,13 +104,21 @@ def generate_1d(values, weights, name, unit, bspec: BinSpec, hspec="density"):
         bin_vol = (gmax - gmin) / nbins
 
     total = float(weights.sum())  # everything counts, binned or not
-    finite = np.isfinite(v)
-    bins = np.floor((v[finite] - gmin) / bin_vol).astype(np.int64)
-    w = weights[finite]
-    if bspec.kind == "log" and hspec in ("density", "pdf"):
-        w = w * bin_vol / _linear_bin_vol(gmin, bin_vol, bins)
-    ok = (bins >= 0) & (bins < nbins)
-    cts = np.bincount(bins[ok], weights=w[ok], minlength=nbins).astype(np.float64)
+    log_correct = bspec.kind == "log" and hspec in ("density", "pdf")
+
+    from .. import native
+
+    cts = native.hist1d(v, weights, gmin, bin_vol, nbins, log_correct)
+    if cts is None:
+        finite = np.isfinite(v)
+        bins = np.floor((v[finite] - gmin) / bin_vol).astype(np.int64)
+        w = weights[finite]
+        if log_correct:
+            w = w * bin_vol / _linear_bin_vol(gmin, bin_vol, bins)
+        ok = (bins >= 0) & (bins < nbins)
+        cts = np.bincount(
+            bins[ok], weights=w[ok], minlength=nbins
+        ).astype(np.float64)
 
     if hspec == "density":
         cts = cts / bin_vol
@@ -151,27 +159,38 @@ def generate_2d(values0, values1, weights, names, units, bspecs, hspec="density"
     bin_vol = (sz0 if sz0 != 0.0 else 1.0) * (sz1 if sz1 != 0.0 else 1.0)
 
     total = float(weights.sum())
-    finite = np.isfinite(a0) & np.isfinite(a1)
-    b0 = (
-        np.zeros(finite.sum(), np.int64)
-        if sz0 == 0.0
-        else np.floor((a0[finite] - min0) / sz0).astype(np.int64)
-    )
-    b1 = (
-        np.zeros(finite.sum(), np.int64)
-        if sz1 == 0.0
-        else np.floor((a1[finite] - min1) / sz1).astype(np.int64)
-    )
-    w = weights[finite]
-    if bspecs[0].kind == "log" and hspec in ("density", "pdf") and sz0 != 0.0:
-        w = w * sz0 / _linear_bin_vol(min0, sz0, b0)
-    if bspecs[1].kind == "log" and hspec in ("density", "pdf") and sz1 != 0.0:
-        w = w * sz1 / _linear_bin_vol(min1, sz1, b1)
+    logc0 = bspecs[0].kind == "log" and hspec in ("density", "pdf")
+    logc1 = bspecs[1].kind == "log" and hspec in ("density", "pdf")
 
-    ok = (b0 >= 0) & (b0 < nb0) & (b1 >= 0) & (b1 < nb1)
-    flat = b1[ok] * nb0 + b0[ok]
-    cts = np.bincount(flat, weights=w[ok], minlength=nb0 * nb1).astype(np.float64)
-    cts = cts.reshape(nb1, nb0)
+    from .. import native
+
+    cts = native.hist2d(
+        a0, a1, weights, min0, sz0, nb0, logc0, min1, sz1, nb1, logc1
+    )
+    if cts is None:
+        finite = np.isfinite(a0) & np.isfinite(a1)
+        b0 = (
+            np.zeros(finite.sum(), np.int64)
+            if sz0 == 0.0
+            else np.floor((a0[finite] - min0) / sz0).astype(np.int64)
+        )
+        b1 = (
+            np.zeros(finite.sum(), np.int64)
+            if sz1 == 0.0
+            else np.floor((a1[finite] - min1) / sz1).astype(np.int64)
+        )
+        w = weights[finite]
+        if logc0 and sz0 != 0.0:
+            w = w * sz0 / _linear_bin_vol(min0, sz0, b0)
+        if logc1 and sz1 != 0.0:
+            w = w * sz1 / _linear_bin_vol(min1, sz1, b1)
+
+        ok = (b0 >= 0) & (b0 < nb0) & (b1 >= 0) & (b1 < nb1)
+        flat = b1[ok] * nb0 + b0[ok]
+        cts = np.bincount(
+            flat, weights=w[ok], minlength=nb0 * nb1
+        ).astype(np.float64)
+        cts = cts.reshape(nb1, nb0)
 
     if hspec == "density":
         cts = cts / bin_vol

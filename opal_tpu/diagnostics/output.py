@@ -190,6 +190,10 @@ def interpolate_grid(E, B, J, rho, geom: GridGeometry):
 def write_grid_data(directory, index: int, E, B, J, rho, geom: GridGeometry):
     rows = interpolate_grid(E, B, J, rho, geom)
     path = Path(directory) / f"{index}_grid.dat"
+    from .. import native
+
+    if native.write_text_table(path, rows):
+        return
     with open(path, "w") as f:
         for row in rows:
             f.write(" ".join(f"{v:.17e}" for v in row) + "\n")

@@ -30,6 +30,15 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"mesh needs {n_devices} devices but only {len(devices)} "
+                f"are available (platform "
+                f"'{devices[0].platform if devices else '?'}'); for a "
+                "virtual multi-device run set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} and "
+                "use the CPU backend"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("x",))
 

@@ -246,6 +246,151 @@ def initialize(
     return ParticleState(**{k: (None if v is None else np.asarray(v)) for k, v in fields.items()})
 
 
+def initialize_device(
+    spec: SpeciesSpec,
+    geom: GridGeometry,
+    mesh,
+    npc: int,
+    density: Callable,
+    ux: Callable,
+    uy: Callable,
+    uz: Callable,
+    dt: float,
+    capacity_per_device: int,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> ParticleState:
+    """Sample the initial distribution **on device** under shard_map.
+
+    Same physics as :func:`initialize` (``mod.rs:172-203``) but all
+    large arrays are generated on their owning device: only the (nx,)
+    per-cell weight table crosses host->device.  The momentum
+    callables must be JAX-traceable (the expression DSL is); random
+    draws use counter-based keys folded per device, so the sampled
+    *distribution* matches the host path while the exact streams
+    differ (SURVEY §7 RNG parity note).
+
+    Requires ``capacity_per_device >= n_loc * npc``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if npc > 0 and capacity_per_device < geom.n_loc * npc:
+        raise ValueError(
+            f"device init needs capacity >= n_loc*npc = {geom.n_loc * npc}, "
+            f"got {capacity_per_device}"
+        )
+
+    # host side: per-interior-cell macroparticle weight (nx is small)
+    x_centre = geom.xmin + (np.arange(geom.nx) + 0.5) * geom.dx
+    nreal = (
+        np.broadcast_to(
+            np.asarray(density(x_centre), dtype=np.float64), x_centre.shape
+        )
+        * geom.dx
+    )
+    w_cell_host = np.zeros(geom.n_ext, np.float64)
+    if npc > 0:
+        w_cell_host[geom.interior_start : geom.interior_end] = np.where(
+            nreal > 0.0, nreal / npc, 0.0
+        )
+    w_cell = jax.device_put(
+        jnp.asarray(w_cell_host.reshape(geom.n_devices, geom.n_loc), dtype),
+        jax.sharding.NamedSharding(mesh, P("x", None)),
+    )
+
+    cap = capacity_per_device
+    n_loc = geom.n_loc
+
+    def device_fn(w_loc):
+        # w_loc arrives as (1, n_loc) from the sharded (ndev, n_loc)
+        w_loc = w_loc[0]
+        ai = jax.lax.axis_index("x")
+        key = jax.random.fold_in(jax.random.key(seed), ai)
+        lane = jnp.arange(cap)
+        local_cell = (lane // max(npc, 1)).astype(jnp.int32)
+        in_range = lane < n_loc * npc
+        local_cell = jnp.where(in_range, local_cell, 0)
+        w = jnp.where(in_range, w_loc[local_cell], 0.0)
+        alive = in_range & (w > 0.0)
+
+        k_xi, k_ur, k_nr, k_tau = jax.random.split(key, 4)
+        xi = jax.random.uniform(k_xi, (cap,), dtype)
+        g = ai * n_loc + local_cell  # extended-grid cell
+        real_x = (g - geom.left_pad + xi) * geom.dx + geom.xmin
+        urand = jax.random.uniform(k_ur, (cap,), dtype)
+        nrand = jax.random.normal(k_nr, (cap,), dtype)
+        u = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(f(real_x, urand, nrand), dtype), (cap,))
+                for f in (ux, uy, uz)
+            ],
+            axis=-1,
+        )
+        u2 = jnp.sum(u * u, axis=-1)
+        if spec.kind == "photon":
+            k0 = jnp.sqrt(u2)
+            vx_over_c = jnp.where(k0 > 0, u[:, 0] / jnp.maximum(k0, 1e-30), 0.0)
+            gamma_like = k0
+        else:
+            gamma_like = jnp.sqrt(1.0 + u2)
+            vx_over_c = u[:, 0] / gamma_like
+        prev_x = xi - const.SPEED_OF_LIGHT * vx_over_c * dt / geom.dx
+
+        zero = jnp.zeros(cap, dtype)
+        fields = dict(
+            cell=local_cell,
+            x=jnp.where(alive, xi, 0.0),
+            prev_x=jnp.where(alive, prev_x, 0.0),
+            y=zero,
+            z=zero,
+            weight=jnp.where(alive, w, 0.0),
+            u=jnp.where(alive[:, None], u, 0.0),
+            gamma=jnp.where(alive, gamma_like, 0.0 if spec.kind == "photon" else 1.0),
+            chi=zero,
+            tau=None,
+            tau_abs=None,
+            tau_st=None,
+            work=None,
+            birth_time=None,
+            alive=alive,
+        )
+        if spec.kind == "electron":
+            fields["tau"] = jnp.where(
+                alive, jax.random.exponential(k_tau, (cap,), dtype), jnp.inf
+            )
+            fields["work"] = zero
+        if spec.kind == "photon":
+            ka, kb = jax.random.split(k_tau)
+            fields["tau_abs"] = jnp.where(
+                alive, jax.random.exponential(ka, (cap,), dtype), jnp.inf
+            )
+            fields["tau_st"] = jnp.where(
+                alive, jax.random.exponential(kb, (cap,), dtype), jnp.inf
+            )
+            fields["birth_time"] = jnp.where(alive, 0.0, -jnp.inf)
+        return ParticleState(**fields)
+
+    out_specs = ParticleState(
+        **{
+            f.name: (
+                None
+                if getattr(_probe_state(spec, dtype), f.name) is None
+                else (P("x", None) if f.name == "u" else P("x"))
+            )
+            for f in dataclasses.fields(ParticleState)
+        }
+    )
+    return jax.shard_map(
+        device_fn, mesh=mesh, in_specs=P("x", None), out_specs=out_specs,
+        check_vma=False,
+    )(w_cell)
+
+
+def _probe_state(spec: SpeciesSpec, dtype) -> ParticleState:
+    """A 1-slot host state used to know which optional fields exist."""
+    return ParticleState(**_empty_fields(spec, 1, np.float64))
+
+
 def kinetic_energy_weights(spec: SpeciesSpec, state: ParticleState):
     """Per-particle kinetic energy in joules (macroparticle), using the
     cancellation-free gamma-1 form for massive species
