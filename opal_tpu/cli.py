@@ -67,6 +67,12 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         balance = input_cfg.read_bool("control", "balance")
     except ConfigError:
         balance = True  # balance by default (main.rs:76)
+    try:
+        # electrostatic field setup (yee.rs:644-747; the reference
+        # gates this off at main.rs:174 — opt-in here)
+        initialise_fields = input_cfg.read_bool("control", "initialise_fields")
+    except ConfigError:
+        initialise_fields = False
 
     photon_emission = input_cfg.read_bool("qed", "photon_emission")
     photon_absorption = input_cfg.read_bool("qed", "photon_absorption")
@@ -222,7 +228,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     run_params = dict(
         tstart=tstart, tend=tend, n_outputs=n_outputs,
         total_steps=total_steps, capacities=capacities,
-        balance_info=balance_info,
+        balance_info=balance_info, initialise_fields=initialise_fields,
     )
     return sim, species, run_params
 
@@ -296,6 +302,8 @@ def main(argv=None) -> int:
         )
 
     E, B, J, rho = sim.init_fields()
+    if rp.get("initialise_fields"):
+        E, B, J, rho = sim.initialize_fields(E, B, J, rho, species)
     counters = sim.zero_counters()
     key = jax.random.key(opt.seed)
     t = rp["tstart"]

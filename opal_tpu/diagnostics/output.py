@@ -30,7 +30,7 @@ _UNITS = {
     "x": "m", "r": "m", "energy": "MeV",
     "px": "MeV/c", "py": "MeV/c", "pz": "MeV/c", "p_perp": "MeV/c",
     "theta": "rad", "phi": "rad", "longitude": "rad", "latitude": "rad",
-    "work": "J", "chi": "1",
+    "work": "J", "chi": "1", "helicity": "1",
 }
 
 
@@ -90,6 +90,16 @@ def particle_quantity(
         return np.asarray(st.work)[alive]
     if name == "chi":
         return np.asarray(st.chi)[alive]
+    if name == "helicity":
+        # the photon spin_state (photon.rs:141-147,299-302); the
+        # reference defines it but never wires it into the output
+        # grammar — exposed here as an extension
+        if st.pol is None:
+            return np.zeros(alive.sum())
+        pol = np.asarray(st.pol)[alive]
+        re = pol[:, 0] + pol[:, 3]
+        im = pol[:, 1] - pol[:, 2]
+        return 0.5 * (re * re + im * im)
     return None
 
 

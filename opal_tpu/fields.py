@@ -77,6 +77,72 @@ def field_step(E, B, geom: GridGeometry, t, dt, laser_y, laser_z, antenna, axis_
     return E_slab[HALO:-HALO], B_slab[HALO:-HALO], J, rho
 
 
+def electrostatic_init(E, B, J, rho, geom: GridGeometry, axis_name, axis_index):
+    """Consistent initial fields from deposited charge/current
+    (reference ``YeeGrid::initialize``, ``src/grid/yee.rs:644-747`` —
+    gated off by ``if false`` at ``main.rs:174`` but part of the grid
+    interface).  Solves, over the extended grid,
+
+        dEx/dx = rho / eps0,   dBy/dx = mu0 jz,   dBz/dx = -mu0 jy,
+
+    with boundary values from the infinite-sheet fields of the total
+    charge/current (``yee.rs:691-700``).  The reference's rank-serial
+    prefix chain (receive left ghost, sweep, send right) becomes a
+    device-parallel global cumulative sum: local ``cumsum`` plus an
+    exclusive prefix of per-device totals via ``all_gather`` — O(n_loc)
+    per device with one small collective instead of a serialized ring.
+
+    Arguments are owned-cell slabs; returns updated (E, B).  Ey, Ez and
+    Bx are untouched (zero-initialised).  The sweep starts after the
+    left boundary zone; left-zone cells get the domain boundary fields
+    added on top (``yee.rs:705-712``).  For periodic grids the sweep
+    base is cell 0 (the reference never exercises initialize on a
+    periodic grid).
+    """
+    from . import constants as const
+
+    eps0 = const.VACUUM_PERMITTIVITY
+    mu0 = const.VACUUM_PERMEABILITY
+    dx = geom.dx
+    n = geom.n_devices
+
+    g = global_cells(geom, axis_index)
+    interior = (g >= geom.interior_start) & (g < geom.interior_end)
+
+    rho_tot = halo.psum(jnp.sum(jnp.where(interior, rho, 0.0)), axis_name)
+    jy_tot = halo.psum(jnp.sum(jnp.where(interior, J[:, 1], 0.0)), axis_name)
+    jz_tot = halo.psum(jnp.sum(jnp.where(interior, J[:, 2], 0.0)), axis_name)
+
+    dom_Ex = -rho_tot * dx / (2.0 * eps0)
+    dom_By = -mu0 * jz_tot * dx / 2.0
+    dom_Bz = mu0 * jy_tot * dx / 2.0
+
+    sweep = g >= geom.left_pad
+
+    def global_cumsum(c):
+        local = jnp.cumsum(c)
+        totals = lax.all_gather(local[-1], axis_name)
+        prefix = jnp.sum(
+            jnp.where(jnp.arange(n) < axis_index, totals, 0.0)
+        )
+        return local + prefix
+
+    cum_Ex = global_cumsum(jnp.where(sweep, dx * rho / eps0, 0.0))
+    cum_By = global_cumsum(jnp.where(sweep, mu0 * dx * J[:, 2], 0.0))
+    cum_Bz = global_cumsum(jnp.where(sweep, -mu0 * dx * J[:, 1], 0.0))
+
+    E = E.at[:, 0].set(
+        jnp.where(sweep, dom_Ex + cum_Ex, E[:, 0] + dom_Ex)
+    )
+    B = B.at[:, 1].set(
+        jnp.where(sweep, dom_By + cum_By, B[:, 1] + dom_By)
+    )
+    B = B.at[:, 2].set(
+        jnp.where(sweep, dom_Bz + cum_Bz, B[:, 2] + dom_Bz)
+    )
+    return E, B
+
+
 def sm_mask(geom: GridGeometry, axis_index):
     """Silver-Müller mask on the halo-extended slab: slab index 0
     (ghost-parity, see :func:`opal_tpu.ops.maxwell.advance_e`) plus the

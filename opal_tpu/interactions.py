@@ -148,6 +148,9 @@ def emit_radiation(sim, species, t, key):
         work=None,
         birth_time=jnp.full(n, t, dtype),
         alive=keep,
+        # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
+        pol=jnp.zeros((n, 4), dtype),
+        basis=jnp.stack([k_ph, k_ph], axis=1),
     )
     ph, overflow = insert(ph, buf, keep)
     return {**species, "electron": e, "photon": ph}, overflow
@@ -315,6 +318,9 @@ def absorb(sim, species, t, key):
         work=None,
         birth_time=jnp.full(n_ph, t, dtype),
         alive=stimulated,
+        # stimulated copy inherits the seed photon's polarization state
+        pol=ph.pol,
+        basis=ph.basis,
     )
     ph, overflow = insert(ph, buf, stimulated)
     return {**species, "electron": e, "photon": ph}, overflow + overflow_pairs

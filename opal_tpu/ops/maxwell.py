@@ -73,3 +73,19 @@ def advance(E, B, J, dt, dx, sm_mask):
     E = advance_e(E, B, J, dt, dx, sm_mask)
     B = advance_b(E, B, 0.5 * dt, dx)
     return E, B
+
+
+def smooth_currents(J_slab, rho_slab, alpha):
+    """Bilinear (three-point) filter of charge and current density,
+    suppressing the Nyquist-frequency signal (``yee.rs:871-888``):
+
+        j_i <- alpha j_i + (1 - alpha) (j_{i-1} + j_{i+1}) / 2
+
+    Operates on halo-extended slabs so every owned cell sees true
+    neighbours; the outermost slab cells keep their value (as the
+    reference leaves its array ends untouched).  The reference filters
+    j only; rho is passed through for a matching interface.
+    """
+    blend = lambda a: alpha * a[1:-1] + 0.5 * (1.0 - alpha) * (a[:-2] + a[2:])
+    J = J_slab.at[1:-1].set(blend(J_slab))
+    return J, rho_slab

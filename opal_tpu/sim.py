@@ -109,14 +109,14 @@ class Simulation:
         def put(a):
             if a is None:
                 return None
-            spec = P("x") if a.ndim == 1 else P("x", None)
+            spec = P("x", *([None] * (a.ndim - 1)))
             return jax.device_put(jnp.asarray(a), NamedSharding(self.mesh, spec))
 
         return tree_util.tree_map(put, state)
 
     def _pspec(self, state_tree):
         return tree_util.tree_map(
-            lambda a: P("x") if a.ndim == 1 else P("x", None), state_tree
+            lambda a: P("x", *([None] * (a.ndim - 1))), state_tree
         )
 
     # ------------------------------------------------------------------
@@ -271,6 +271,44 @@ class Simulation:
 
     def init_fields(self):
         return zero_fields(self.geom, self.mesh, self.dtype)
+
+    def initialize_fields(self, E, B, J, rho, species):
+        """Electrostatic/magnetostatic field setup from the initial
+        particle distribution (reference ``main.rs:174-183`` +
+        ``yee.rs:644-747``): deposit charge/current, fold halos, then
+        solve the Gauss/Ampère prefix sweep.  Returns (E, B, J, rho)."""
+        from .fields import electrostatic_init
+
+        geom, opt = self.geom, self.options
+
+        def device_fn(E, B, species):
+            ai = lax.axis_index("x")
+            n_slab = geom.n_loc + 2 * HALO
+            J_slab = jnp.zeros((n_slab, 3), E.dtype)
+            rho_slab = jnp.zeros((n_slab,), E.dtype)
+            for name, spec in self.specs.items():
+                if spec.charge == 0.0:
+                    continue
+                st = species[name]
+                macrocharge = jnp.where(st.alive, st.weight * spec.charge, 0.0)
+                J_slab, rho_slab = deposit(
+                    J_slab, rho_slab, st.cell + HALO, st.x, st.prev_x,
+                    macrocharge, self._velocity(spec, st), geom.dx, opt.dt,
+                )
+            J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
+            E, B = electrostatic_init(E, B, J, rho, geom, "x", ai)
+            return E, B, J, rho
+
+        sp_specs = self._pspec(species)
+        return jax.jit(
+            jax.shard_map(
+                device_fn,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(P("x", None), P("x", None), sp_specs),
+                out_specs=(P("x", None), P("x", None), P("x", None), P("x")),
+            )
+        )(E, B, species)
 
     def zero_counters(self):
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32

@@ -45,6 +45,8 @@ from .grid import GridGeometry
         "work",
         "birth_time",
         "alive",
+        "pol",
+        "basis",
     ],
     meta_fields=[],
 )
@@ -72,6 +74,11 @@ class ParticleState:
     work: jnp.ndarray | None
     birth_time: jnp.ndarray | None
     alive: jnp.ndarray  # (N,) bool
+    # photon polarization (photon.rs:24-25): Jones vector over a basis
+    # transverse to k.  pol = (N, 4) [re a1, im a1, re a2, im a2];
+    # basis = (N, 2, 3) the two (unit) basis vectors.
+    pol: jnp.ndarray | None = None
+    basis: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -128,6 +135,8 @@ def _empty_fields(spec: SpeciesSpec, n: int, dtype):
         work=None,
         birth_time=None,
         alive=np.zeros(n, bool),
+        pol=None,
+        basis=None,
     )
     if spec.kind == "electron":
         fields["tau"] = inf.copy()
@@ -137,6 +146,8 @@ def _empty_fields(spec: SpeciesSpec, n: int, dtype):
         fields["tau_abs"] = inf.copy()
         fields["tau_st"] = inf.copy()
         fields["birth_time"] = np.full(n, -np.inf, dtype)
+        fields["pol"] = np.zeros((n, 4), dtype)
+        fields["basis"] = np.zeros((n, 2, 3), dtype)
     return fields
 
 
@@ -242,6 +253,9 @@ def initialize(
             fields["tau_abs"][slots] = rng.exponential(size=n)
             fields["tau_st"][slots] = rng.exponential(size=n)
             fields["birth_time"][slots] = 0.0
+            # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
+            fields["basis"][slots, 0] = u
+            fields["basis"][slots, 1] = u
 
     return ParticleState(**{k: (None if v is None else np.asarray(v)) for k, v in fields.items()})
 
@@ -368,14 +382,19 @@ def initialize_device(
                 alive, jax.random.exponential(kb, (cap,), dtype), jnp.inf
             )
             fields["birth_time"] = jnp.where(alive, 0.0, -jnp.inf)
+            fields["pol"] = jnp.zeros((cap, 4), dtype)
+            fields["basis"] = jnp.where(
+                alive[:, None, None], jnp.stack([u, u], axis=1), 0.0
+            )
         return ParticleState(**fields)
 
+    probe = _probe_state(spec, dtype)
     out_specs = ParticleState(
         **{
             f.name: (
                 None
-                if getattr(_probe_state(spec, dtype), f.name) is None
-                else (P("x", None) if f.name == "u" else P("x"))
+                if getattr(probe, f.name) is None
+                else P("x", *([None] * (getattr(probe, f.name).ndim - 1)))
             )
             for f in dataclasses.fields(ParticleState)
         }
