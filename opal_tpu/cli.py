@@ -73,6 +73,12 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         initialise_fields = input_cfg.read_bool("control", "initialise_fields")
     except ConfigError:
         initialise_fields = False
+    try:
+        # checkpoint/resume is an opal_tpu extension: the reference has
+        # no checkpointing of any kind (main.rs:185, SURVEY §5)
+        checkpoint_enabled = input_cfg.read_bool("control", "checkpoint")
+    except ConfigError:
+        checkpoint_enabled = False
 
     photon_emission = input_cfg.read_bool("qed", "photon_emission")
     photon_absorption = input_cfg.read_bool("qed", "photon_absorption")
@@ -229,6 +235,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         tstart=tstart, tend=tend, n_outputs=n_outputs,
         total_steps=total_steps, capacities=capacities,
         balance_info=balance_info, initialise_fields=initialise_fields,
+        checkpoint=checkpoint_enabled,
     )
     return sim, species, run_params
 
@@ -242,6 +249,8 @@ def main(argv=None) -> int:
                         help="number of mesh devices (default: all)")
     parser.add_argument("--f32", action="store_true",
                         help="run in float32 (default float64)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from checkpoint.npz in the output dir")
     args = parser.parse_args(argv)
 
     import os
@@ -307,9 +316,34 @@ def main(argv=None) -> int:
     counters = sim.zero_counters()
     key = jax.random.key(opt.seed)
     t = rp["tstart"]
+    first_output = 0
+    if args.resume:
+        from . import checkpoint
+
+        try:
+            first_output, t, E, B, J, rho, species, key, counters = (
+                checkpoint.load(output_dir, sim)
+            )
+            print(f"Resuming from output {first_output} (t = {simulation_time(t)})")
+        except FileNotFoundError:
+            print(
+                f"opal_tpu: no {checkpoint.FILENAME} in {output_dir}",
+                file=sys.stderr,
+            )
+            return 1
+        except ValueError as exc:
+            print(f"opal_tpu: {exc}", file=sys.stderr)
+            return 1
     runtime = time.monotonic()
 
     def dump(index):
+        if rp.get("checkpoint"):
+            from . import checkpoint
+
+            checkpoint.save(
+                output_dir, index, float(t), E, B, J, rho, species, key,
+                counters, n_devices=geom.n_devices,
+            )
         out.write_grid_data(output_dir, index, E, B, J, rho, geom)
         for skey, spec in sim.specs.items():
             out.write_particle_outputs(
@@ -328,13 +362,15 @@ def main(argv=None) -> int:
         )
         out.write_energies(output_dir, index, fe, ee, ie, pe)
 
-    for i in range(n_outputs):
+    for i in range(first_output, n_outputs):
         dump(i)
-        if i > 0:
+        if i > first_output:
+            done = (i - first_output) * steps_bt_output
+            total = (n_outputs - first_output) * steps_bt_output
             print(
                 f"Output {i: >4} at t = {simulation_time(t)}, "
                 f"RT = {pretty_duration(time.monotonic() - runtime)}, "
-                f"ETTC = {pretty_duration(ettc(runtime, i * steps_bt_output, n_outputs * steps_bt_output))}..."
+                f"ETTC = {pretty_duration(ettc(runtime, done, total))}..."
             )
         else:
             print(f"Output {i: >4} at t = {simulation_time(t)}...")
