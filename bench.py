@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--deposition", action="store_true", default=True)
     parser.add_argument("--no-deposition", dest="deposition", action="store_false")
+    parser.add_argument("--no-migration", dest="migration", action="store_false",
+                        default=True, help="bench A/B: skip the migration pass")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace of the timed block")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -70,7 +74,7 @@ def main(argv=None):
     dt = 0.95 * dx / const.SPEED_OF_LIGHT
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
     opts = SimOptions(
-        dt=dt, current_deposition=args.deposition,
+        dt=dt, current_deposition=args.deposition, migration=args.migration,
         migration_capacity=max(4096, n_particles // ndev // 64),
     )
     espec = SpeciesSpec.electron()
@@ -106,8 +110,15 @@ def main(argv=None):
     E, B, J, rho, species, t, counters = out
 
     t0 = time.monotonic()
-    out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
-    jax.block_until_ready(out)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out = sim.run(
+                E, B, J, rho, species, float(t), key, counters, args.steps
+            )
+            jax.block_until_ready(out)
+    else:
+        out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
+        jax.block_until_ready(out)
     elapsed = time.monotonic() - t0
 
     pushes_per_sec = n_particles * args.steps / elapsed

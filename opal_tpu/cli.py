@@ -251,6 +251,8 @@ def main(argv=None) -> int:
                         help="run in float32 (default float64)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from checkpoint.npz in the output dir")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace of the run")
     args = parser.parse_args(argv)
 
     import os
@@ -377,9 +379,18 @@ def main(argv=None) -> int:
         sys.stdout.flush()
 
         key, sub = jax.random.split(key)
-        E, B, J, rho, species, t, counters = sim.run(
-            E, B, J, rho, species, float(t), sub, counters, steps_bt_output
-        )
+        if args.profile and i == first_output + 1:
+            # profile the second block: the first includes compilation
+            with jax.profiler.trace(args.profile):
+                E, B, J, rho, species, t, counters = sim.run(
+                    E, B, J, rho, species, float(t), sub, counters,
+                    steps_bt_output,
+                )
+                jax.block_until_ready(E)
+        else:
+            E, B, J, rho, species, t, counters = sim.run(
+                E, B, J, rho, species, float(t), sub, counters, steps_bt_output
+            )
         lost = {k: int(v) for k, v in counters.items() if int(v) > 0}
         if lost:
             print(f"warning: buffer-overflow particle losses: {lost}",

@@ -74,6 +74,9 @@ class SimOptions:
     migration_capacity: int = 4096
     absorption_candidates: int = 64
     seed: int = 0
+    # diagnostics: disable the migration exchange (bench A/B only —
+    # particles leaving their slab are then lost)
+    migration: bool = True
 
 
 class Simulation:
@@ -179,8 +182,11 @@ class Simulation:
         # electrons, ions, photons — main.rs:240-244)
         for name in self.specs:
             st = self._push_species(name, species[name], E_slab, B_slab, t)
-            st, ovf = migrate(st, geom, "x", ai, opt.migration_capacity)
-            counters = {**counters, name: counters[name] + halo.psum(ovf, "x")}
+            if opt.migration:
+                st, ovf = migrate(st, geom, "x", ai, opt.migration_capacity)
+                counters = {
+                    **counters, name: counters[name] + halo.psum(ovf, "x")
+                }
             species = {**species, name: st}
 
         # 3-4: QED interactions
