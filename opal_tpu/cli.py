@@ -82,6 +82,20 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
 
     photon_emission = input_cfg.read_bool("qed", "photon_emission")
     photon_absorption = input_cfg.read_bool("qed", "photon_absorption")
+
+    # The reference's compile-time cargo features (Cargo.toml:24-31)
+    # become an optional `features` section of runtime booleans; each
+    # combination traces its own specialized step (SURVEY C22).
+    def feature(name):
+        try:
+            return input_cfg.read_bool("features", name)
+        except ConfigError:
+            return False
+
+    radiation_reaction = not feature("no_radiation_reaction")
+    beaming = not feature("no_beaming")
+    stimulated_emission_on = not feature("no_stimulated_emission")
+    immobile_photons = feature("immobile_photons")
     # joules -> MeV (main.rs:81)
     _pe_min = input_cfg.read_opt_f64("qed", "photon_energy_min")
     photon_energy_min = (
@@ -129,6 +143,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         current_deposition=current_deposition,
         photon_emission=photon_emission,
         photon_absorption=photon_absorption,
+        radiation_reaction=radiation_reaction,
+        beaming=beaming,
+        stimulated_emission=stimulated_emission_on,
+        immobile_photons=immobile_photons,
         photon_energy_min=photon_energy_min,
         photon_angle_max=photon_angle_max,
         max_formation_length=max_formation_length,

@@ -1,0 +1,69 @@
+"""Feature-flag section of the input file (the reference's cargo
+features, ``Cargo.toml:24-31``, as runtime booleans — SURVEY C22)."""
+
+import textwrap
+
+from opal_tpu.cli import build
+
+
+def _write(tmp_path, features=""):
+    cfg = textwrap.dedent(
+        """
+        control:
+          dx: 500
+          nx: 32
+          xmin: 0.0
+          start: 0.0
+          end: 0.001
+          current_deposition: true
+          n_outputs: 1
+
+        qed:
+          photon_emission: true
+          photon_absorption: true
+
+        {features}
+        electrons:
+          npc: 2
+          ne: 20.0
+          ux: 0.1
+          uy: 0.0
+          uz: 0.0
+          output: [x]
+
+        ions:
+          npc: 0
+
+        photons:
+          npc: 0
+          output: [energy]
+
+        constants: {{}}
+        """
+    ).format(features=features)
+    p = tmp_path / "in.yaml"
+    p.write_text(cfg)
+    return p
+
+
+def test_default_features(tmp_path):
+    sim, _, _ = build(_write(tmp_path), n_devices=4)
+    assert sim.options.radiation_reaction
+    assert sim.options.beaming
+    assert sim.options.stimulated_emission
+    assert not sim.options.immobile_photons
+
+
+def test_features_section(tmp_path):
+    feats = (
+        "features:\n"
+        "  no_radiation_reaction: true\n"
+        "  no_beaming: true\n"
+        "  no_stimulated_emission: true\n"
+        "  immobile_photons: true\n"
+    )
+    sim, _, _ = build(_write(tmp_path, feats), n_devices=4)
+    assert not sim.options.radiation_reaction
+    assert not sim.options.beaming
+    assert not sim.options.stimulated_emission
+    assert sim.options.immobile_photons
