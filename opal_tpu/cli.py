@@ -96,6 +96,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     beaming = not feature("no_beaming")
     stimulated_emission_on = not feature("no_stimulated_emission")
     immobile_photons = feature("immobile_photons")
+    extra_absorption_output = feature("extra_absorption_output")
+    extra_stimulated_output = feature("extra_stimulated_emission_output")
     # joules -> MeV (main.rs:81)
     _pe_min = input_cfg.read_opt_f64("qed", "photon_energy_min")
     photon_energy_min = (
@@ -147,6 +149,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         beaming=beaming,
         stimulated_emission=stimulated_emission_on,
         immobile_photons=immobile_photons,
+        extra_absorption_output=extra_absorption_output,
+        extra_stimulated_emission_output=extra_stimulated_output,
         photon_energy_min=photon_energy_min,
         photon_angle_max=photon_angle_max,
         max_formation_length=max_formation_length,
@@ -400,15 +404,18 @@ def main(argv=None) -> int:
         if args.profile and i == first_output + 1:
             # profile the second block: the first includes compilation
             with jax.profiler.trace(args.profile):
-                E, B, J, rho, species, t, counters = sim.run(
+                res = sim.run(
                     E, B, J, rho, species, float(t), sub, counters,
                     steps_bt_output,
                 )
-                jax.block_until_ready(E)
+                jax.block_until_ready(res)
         else:
-            E, B, J, rho, species, t, counters = sim.run(
+            res = sim.run(
                 E, B, J, rho, species, float(t), sub, counters, steps_bt_output
             )
+        E, B, J, rho, species, t, counters = res[:7]
+        if sim._event_log:
+            out.write_event_log(sys.stderr, res[7], sim.options)
         lost = {k: int(v) for k, v in counters.items() if int(v) > 0}
         if lost:
             print(f"warning: buffer-overflow particle losses: {lost}",

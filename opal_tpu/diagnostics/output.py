@@ -164,6 +164,31 @@ def write_particle_outputs(
             fits.write_histogram(directory / f"{stem}.fits", h)
 
 
+def write_event_log(stream, events, options) -> int:
+    """Drain the per-device absorption/stimulated-emission event ring
+    to ``stream`` in the reference's dump format
+    (``interactions.rs:267-289``): ``x t birth_time chi_g k0 k1 k2 k3
+    chi_e p0 p1 p2 p3 abs|stim``.  Returns the number of rows written.
+    """
+    ring, count = np.asarray(events[0]), np.asarray(events[1])
+    n_dev = count.shape[0]
+    cap = ring.shape[0] // max(n_dev, 1)
+    written = 0
+    for d in range(n_dev):
+        rows = ring[d * cap : d * cap + int(count[d])]
+        for r in rows:
+            kind = "abs" if r[13] == 1.0 else "stim"
+            if kind == "abs" and not options.extra_absorption_output:
+                continue
+            if kind == "stim" and not options.extra_stimulated_emission_output:
+                continue
+            head = " ".join(f"{v:.6e}" for v in r[:3])
+            body = " ".join(f"{v:.3e}" for v in r[3:13])
+            stream.write(f"{head} {body} {kind}\n")
+            written += 1
+    return written
+
+
 def interpolate_grid(E, B, J, rho, geom: GridGeometry):
     """Interpolate all grid quantities to the cell left edge over the
     interior, host-side (``yee.rs:815-835``).

@@ -156,7 +156,7 @@ def emit_radiation(sim, species, t, key):
     return {**species, "electron": e, "photon": ph}, overflow
 
 
-def absorb(sim, species, t, key):
+def absorb(sim, species, t, key, axis_index=None):
     """Photon absorption / stimulated emission pass
     (``interactions.rs:145-340``).
 
@@ -165,6 +165,13 @@ def absorb(sim, species, t, key):
     optical-depth decrements until its first event.  Absorbed photons
     die and kick their electron by (w_ph/w_e) k; stimulated events
     append a photon with the electron's weight and kick by -k.
+
+    Returns ``(species, overflow)`` — or ``(species, overflow, events)``
+    when either extra-output feature is enabled, where ``events`` is a
+    ``((n_ph, 14) record array, (n_ph,) valid mask)`` pair holding the
+    reference's per-event dump row (``interactions.rs:267-289``):
+    ``x t birth_time chi_g k0 k1 k2 k3 chi_e p0 p1 p2 p3 kind`` with
+    kind 1 = absorbed, 2 = stimulated.
     """
     opt = sim.options
     geom = sim.geom
@@ -271,6 +278,36 @@ def absorb(sim, species, t, key):
     stimulated = ev_kind == 2
     ev_e = order[ev_idx]  # unsorted electron index of the event partner
 
+    # --- optional per-event records (interactions.rs:267-289) ----------
+    events = None
+    if opt.extra_absorption_output or opt.extra_stimulated_emission_output:
+        want = jnp.zeros(n_ph, bool)
+        if opt.extra_absorption_output:
+            want = want | absorbed
+        if opt.extra_stimulated_emission_output:
+            want = want | stimulated
+        ai = 0 if axis_index is None else axis_index
+        x_glob = geom.xmin + (
+            ai * geom.n_loc + ph.cell - geom.interior_start + ph.x
+        ) * geom.dx
+        p4_ev = jnp.concatenate(
+            [e.gamma[ev_e][:, None], e.u[ev_e]], axis=1
+        )
+        rec = jnp.concatenate(
+            [
+                x_glob[:, None],
+                jnp.full((n_ph, 1), t, dtype),
+                ph.birth_time[:, None],
+                ph.chi[:, None],
+                k4_ph,
+                e.chi[ev_e][:, None],
+                p4_ev,
+                ev_kind[:, None].astype(dtype),
+            ],
+            axis=1,
+        )
+        events = (rec, want)
+
     # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
     # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
     w_e_ev = e.weight[ev_e]
@@ -323,4 +360,7 @@ def absorb(sim, species, t, key):
         basis=ph.basis,
     )
     ph, overflow = insert(ph, buf, stimulated)
-    return {**species, "electron": e, "photon": ph}, overflow + overflow_pairs
+    out_species = {**species, "electron": e, "photon": ph}
+    if events is not None:
+        return out_species, overflow + overflow_pairs, events
+    return out_species, overflow + overflow_pairs

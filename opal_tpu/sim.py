@@ -63,6 +63,13 @@ class SimOptions:
     beaming: bool = True  # 'no_beaming' inverted
     stimulated_emission: bool = True  # 'no_stimulated_emission' inverted
     immobile_photons: bool = False
+    # per-event absorption/stimulated-emission records
+    # ('extra_absorption_output' / 'extra_stimulated_emission_output',
+    # interactions.rs:267-289): events append to a fixed per-device
+    # ring drained by the driver at output time
+    extra_absorption_output: bool = False
+    extra_stimulated_emission_output: bool = False
+    event_log_capacity: int = 4096
     # emission filters (main.rs:81-83)
     photon_energy_min: float | None = None  # MeV
     photon_angle_max: float | None = None  # rad, about -x axis
@@ -172,9 +179,16 @@ class Simulation:
             return c * st.u / k0[:, None]
         return c * st.u / st.gamma[:, None]
 
+    @property
+    def _event_log(self) -> bool:
+        return (
+            self.options.extra_absorption_output
+            or self.options.extra_stimulated_emission_output
+        )
+
     def _device_step(self, carry, key, ai):
         geom, opt = self.geom, self.options
-        E, B, _J_prev, _rho_prev, species, t, counters = carry
+        E, B, _J_prev, _rho_prev, species, t, counters, events = carry
 
         E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
 
@@ -194,7 +208,20 @@ class Simulation:
             from .interactions import absorb
 
             key, sub = jax.random.split(key)
-            species, ovf = absorb(self, species, t, jax.random.fold_in(sub, ai))
+            res = absorb(
+                self, species, t, jax.random.fold_in(sub, ai), axis_index=ai
+            )
+            if self._event_log:
+                species, ovf, (rec, want) = res
+                ring, count = events
+                cap = ring.shape[0]
+                rank = jnp.cumsum(want) - 1 + count
+                dest = jnp.where(want & (rank < cap), rank, cap)
+                ring = ring.at[dest].set(rec, mode="drop")
+                count = jnp.minimum(count + jnp.sum(want), cap)
+                events = (ring, count)
+            else:
+                species, ovf = res
             counters = {
                 **counters, "photon": counters["photon"] + halo.psum(ovf, "x")
             }
@@ -240,34 +267,43 @@ class Simulation:
         E = E_slab[HALO:-HALO]
         B = B_slab[HALO:-HALO]
 
-        return (E, B, J, rho, species, t + opt.dt, counters), None
+        return (E, B, J, rho, species, t + opt.dt, counters, events), None
 
     def _build_run(self):
-        def device_fn(E, B, J, rho, species, t0, key, counters, nsteps):
+        log = self._event_log
+
+        def device_fn(E, B, J, rho, species, t0, key, counters, events, nsteps):
             ai = lax.axis_index("x")
 
             def body(carry, step_key):
                 return self._device_step(carry, step_key, ai)
 
             keys = jax.random.split(key, nsteps)
-            carry, _ = lax.scan(body, (E, B, J, rho, species, t0, counters), keys)
+            carry, _ = lax.scan(
+                body, (E, B, J, rho, species, t0, counters, events), keys
+            )
+            if not log:
+                carry = carry[:-1]  # drop the unused events leg
             return carry
 
-        def run(E, B, J, rho, species, t0, key, counters, nsteps):
+        def run(E, B, J, rho, species, t0, key, counters, *rest, nsteps):
+            events = rest[0] if log else self.zero_events()
             sp_specs = self._pspec(species)
+            ev_spec = (P("x", None), P("x"))
+            out_tail = (ev_spec,) if log else ()
             return jax.shard_map(
                 partial(device_fn, nsteps=nsteps),
                 mesh=self.mesh,
                 check_vma=False,
                 in_specs=(
                     P("x", None), P("x", None), P("x", None), P("x"),
-                    sp_specs, P(), P(), P(),
+                    sp_specs, P(), P(), P(), ev_spec,
                 ),
                 out_specs=(
                     P("x", None), P("x", None), P("x", None), P("x"),
                     sp_specs, P(), P(),
-                ),
-            )(E, B, J, rho, species, t0, key, counters)
+                ) + out_tail,
+            )(E, B, J, rho, species, t0, key, counters, events)
 
         return run
 
@@ -320,12 +356,33 @@ class Simulation:
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
         return {name: jnp.zeros((), itype) for name in self.specs}
 
-    def run(self, E, B, J, rho, species, t0, key, counters, nsteps: int):
+    def zero_events(self):
+        """Empty per-device event-record ring: (ring, per-device count).
+        Zero-capacity when event logging is off (zero cost to thread)."""
+        cap = self.options.event_log_capacity if self._event_log else 0
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        n = self.geom.n_devices
+        ring = jax.device_put(
+            jnp.zeros((n * cap, 14), self.dtype),
+            NamedSharding(self.mesh, P("x", None)),
+        )
+        count = jax.device_put(
+            jnp.zeros((n,), itype), NamedSharding(self.mesh, P("x"))
+        )
+        return ring, count
+
+    def run(self, E, B, J, rho, species, t0, key, counters, nsteps: int,
+            events=None):
         """Advance ``nsteps`` steps; returns (E, B, J, rho, species, t,
-        counters) with J/rho from the final step (for output parity)."""
+        counters[, events]) with J/rho from the final step (for output
+        parity).  ``events`` (and the extra return leg) exist only when
+        an extra-output feature flag is enabled."""
+        rest = ()
+        if self._event_log:
+            rest = (events if events is not None else self.zero_events(),)
         return self._run(
             E, B, J, rho, species, jnp.asarray(t0, self.dtype), key, counters,
-            nsteps=nsteps,
+            *rest, nsteps=nsteps,
         )
 
     def em_field_energy(self, E, B) -> float:
