@@ -24,21 +24,28 @@ from ..species import ParticleState
 
 
 def _pack(state: ParticleState, mask, cap: int):
-    """Scatter up to ``cap`` masked particles into a compact send
-    buffer — O(N) prefix-sum compaction, no sort.
+    """Compact up to ``cap`` masked particles into a send buffer —
+    O(N) prefix-sum compaction, no sort.
+
+    One N-sized scatter builds an index table of the masked slots; each
+    field is then a ``cap``-sized gather through it.  (Gathering beats
+    scattering every field at full length: the N-sized traffic happens
+    once instead of once per field.)
 
     Returns (buffer pytree, valid mask (cap,), n_masked).
     """
+    n = mask.shape[0]
     rank = jnp.cumsum(mask) - 1  # buffer slot for each masked particle
     n_mask = jnp.sum(mask)
     dest = jnp.where(mask & (rank < cap), rank, cap)  # cap -> dropped
+    table = jnp.zeros(cap, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
 
-    def put(a):
-        out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
-        return out.at[dest].set(a, mode="drop")
-
-    buf = tree_util.tree_map(put, state)
+    buf = tree_util.tree_map(lambda a: a[table], state)
     valid = jnp.arange(cap) < n_mask
+    # slots beyond the valid count hold copies of particle 0; every
+    # consumer masks by ``valid``, so they are never read
     return buf, valid, n_mask
 
 
