@@ -27,6 +27,96 @@ import jax.numpy as jnp
 
 from .interp import flux, weight
 
+_BLOCK = 2048  # rows per block of the two-level column cumsum
+
+
+def _particle_values(x, prev_x, macrocharge, velocity, dx, dt):
+    """The 15 per-particle deposition values and their (offset, target)
+    wiring, shared by both deposition algorithms.
+
+    Returns ``(vals (N, 15), plan)`` where plan is a list of
+    ``(column, offset, component)`` with component 0..2 = J columns,
+    3 = rho.
+    """
+    vy = velocity[:, 1]
+    vz = velocity[:, 2]
+    w_m1 = weight(1.0 + x)
+    w_0 = weight(x)
+    w_p1 = weight(1.0 - x)
+    w_m2q = weight(2.0 - x)  # the reference's index-2 rho quirk
+
+    cols = []
+    plan = []
+    for off in (-2, -1, 0, 1, 2):
+        b = off + 0.5
+        cols.append(macrocharge * flux(b - prev_x, b - x) / dt)
+        plan.append((len(cols) - 1, off, 0))
+    for comp, v in ((1, vy), (2, vz)):
+        for off, w in ((-1, w_m1), (0, w_0), (1, w_p1)):
+            cols.append(macrocharge * v * w / dx)
+            plan.append((len(cols) - 1, off, comp))
+    for off, w in ((-1, w_m1), (0, w_0), (1, w_p1), (-2, w_m2q)):
+        cols.append(macrocharge * w / dx)
+        plan.append((len(cols) - 1, off, 3))
+    return jnp.stack(cols, axis=-1), plan
+
+
+def _cumsum_cols(v):
+    """Inclusive cumulative sum of (N, K) along axis 0, computed as a
+    two-level blocked scan — one vectorized pass within blocks plus a
+    tiny scan over block totals (much faster than a flat 1-axis cumsum
+    for large N on TPU)."""
+    n, k = v.shape
+    pad = (-n) % _BLOCK
+    vp = jnp.pad(v, ((0, pad), (0, 0)))
+    m = vp.reshape(-1, _BLOCK, k)
+    within = jnp.cumsum(m, axis=1)
+    carry = jnp.cumsum(within[:, -1, :], axis=0)
+    carry = jnp.concatenate(
+        [jnp.zeros((1, k), v.dtype), carry[:-1]], axis=0
+    )
+    return (within + carry[:, None, :]).reshape(-1, k)[:n]
+
+
+def deposit_sorted(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
+    """Deposition via cell-sort + segmented column sums.
+
+    TPU-native replacement for the scatter-add formulation: one
+    ``argsort`` by cell, a blocked cumulative sum of all 15 deposition
+    values at once, and per-cell segment differences gathered at
+    ``searchsorted`` boundaries.  No scatters at particle length —
+    profiling shows XLA's scatter-add emitter runs at ~1e8 updates/s on
+    TPU while this path is bandwidth-bound.  Summation order differs
+    from the scatter path (blocked tree vs index order), so results
+    match to floating-point reassociation only.
+
+    Same semantics as :func:`deposit` (``src/grid/yee.rs:551-641``),
+    including its stencil quirks (see module docstring).
+    """
+    n_slab = J.shape[0]
+    order = jnp.argsort(idx)
+    idx_s = idx[order]
+    vals, plan = _particle_values(
+        x[order], prev_x[order], macrocharge[order], velocity[order], dx, dt
+    )
+
+    cum = _cumsum_cols(vals)
+    cum = jnp.concatenate([jnp.zeros((1, cum.shape[1]), cum.dtype), cum])
+    bnd = jnp.searchsorted(idx_s, jnp.arange(n_slab + 1, dtype=idx_s.dtype))
+    seg = cum[bnd[1:]] - cum[bnd[:-1]]  # (n_slab, 15) per-source-cell sums
+
+    # route each column to its target component, shifted by its offset:
+    # particles in cell c deposit column k at cell c + off.  The rolled
+    # wrap-around rows are zero: alive particles live in
+    # [HALO, HALO + n_loc) and |off| <= 2 < HALO.
+    for col, off, comp in plan:
+        s = jnp.roll(seg[:, col], off)
+        if comp == 3:
+            rho = rho + s
+        else:
+            J = J.at[:, comp].add(s)
+    return J, rho
+
 
 def deposit(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     """Accumulate one species' contribution into slab arrays.

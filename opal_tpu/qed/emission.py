@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as const
 from . import pwmci
@@ -29,16 +30,20 @@ from . import tables_data as T
 _SQRT3 = math.sqrt(3.0)
 _TINY = 1.0e-300
 
-_H_LN_CHI = jnp.asarray(T.LN_H_CHI_TABLE[:, 0])
-_H_LN_H = jnp.asarray(T.LN_H_CHI_TABLE[:, 1])
+# NOTE: all module-level tables stay host-side numpy: inside jit they
+# become HLO constants at trace time.  Eager jnp arrays here would be
+# closure-captured device buffers, which permanently degrade dispatch
+# on remote-attached TPUs (see pwmci.prepare).
+_H_LN_CHI = np.ascontiguousarray(T.LN_H_CHI_TABLE[:, 0])
+_H_LN_H = np.ascontiguousarray(T.LN_H_CHI_TABLE[:, 1])
 
 _QUANTUM_PREP = pwmci.prepare(T.QUANTUM_CDF_TABLE)
-_Q_COEFF = jnp.asarray(T.QUANTUM_CDF_COEFF)
-_Q_POWER = jnp.asarray(T.QUANTUM_CDF_POWER)
+_Q_COEFF = np.ascontiguousarray(T.QUANTUM_CDF_COEFF)
+_Q_POWER = np.ascontiguousarray(T.QUANTUM_CDF_POWER)
 
 _Y_PREP = pwmci.prepare(T.Y_CDF_TABLE)
-_Y_COEFF = jnp.asarray(T.Y_CDF_COEFF)
-_Y_POWER = jnp.asarray(T.Y_CDF_POWER)
+_Y_COEFF = np.ascontiguousarray(T.Y_CDF_COEFF)
+_Y_POWER = np.ascontiguousarray(T.Y_CDF_POWER)
 
 _Y_INF_PREP = pwmci.prepare(T.Y_INF_TABLE[None])
 _Y_INF_COEFF = T.Y_INF_COEFF
@@ -69,7 +74,8 @@ def rate(chi, gamma):
     index = jnp.clip(index, 0.0, _H_LN_CHI.shape[0] - 1.0 - 1e-12)
     lo = jnp.clip(jnp.floor(index).astype(jnp.int32), 0, _H_LN_CHI.shape[0] - 2)
     w = index - lo
-    ln_h = (1.0 - w) * _H_LN_H[lo] + w * _H_LN_H[lo + 1]
+    h_ln_h = jnp.asarray(_H_LN_H)  # trace-time constant
+    ln_h = (1.0 - w) * h_ln_h[lo] + w * h_ln_h[lo + 1]
     h_mid = jnp.exp(ln_h)
 
     h = jnp.where(chi < 0.01, h_small, jnp.where(chi >= 100.0, h_large, h_mid))
@@ -98,10 +104,11 @@ def _invert_quantum_cdf(tidx, ln_r):
     """ln(u) such that cdf(ln u; chi_tidx) = ln_r, with the power-law
     continuation below the table and clipping above
     (``photon_emission.rs:149-164``)."""
-    coeff = _Q_COEFF[tidx]
-    power = _Q_POWER[tidx]
-    first_f = _QUANTUM_PREP.f[tidx, 0]
-    last_x = _QUANTUM_PREP.x[tidx, -1]
+    coeff = jnp.asarray(_Q_COEFF)[tidx]
+    power = jnp.asarray(_Q_POWER)[tidx]
+    qprep = pwmci.as_constants(_QUANTUM_PREP)
+    first_f = qprep.f[tidx, 0]
+    last_x = qprep.x[tidx, -1]
     powerlaw = (ln_r - jnp.log(coeff)) / power
     inv, ok = pwmci.invert(_QUANTUM_PREP, tidx, ln_r)
     return jnp.where(ln_r <= first_f, powerlaw, jnp.where(ok, inv, last_x))
@@ -110,6 +117,7 @@ def _invert_quantum_cdf(tidx, ln_r):
 def _from_linear_cdf_table(global_zero, local_zero, rand, prep, tidx, coeff, power):
     """Sample y > local_zero from a CDF tabulated on global_zero < y < inf
     (``photon_emission.rs:87-121``), vectorized with masked branches."""
+    prep = pwmci.as_constants(prep)
     first_x = prep.x[tidx, 0]
     first_f = prep.f[tidx, 0]
 
@@ -206,11 +214,13 @@ def sample(chi, gamma, rand1, rand2, rand3):
     dw = jnp.clip(didx_f - di_c, 0.0, 1.0)
 
     gz = delta ** (-1.5)
+    y_coeff = jnp.asarray(_Y_COEFF)
+    y_power = jnp.asarray(_Y_POWER)
     y_lower = _from_linear_cdf_table(
-        gz, beta, rand2, _Y_PREP, di_c, _Y_COEFF[di_c], _Y_POWER[di_c]
+        gz, beta, rand2, _Y_PREP, di_c, y_coeff[di_c], y_power[di_c]
     )
     y_upper = _from_linear_cdf_table(
-        gz, beta, rand2, _Y_PREP, di_c + 1, _Y_COEFF[di_c + 1], _Y_POWER[di_c + 1]
+        gz, beta, rand2, _Y_PREP, di_c + 1, y_coeff[di_c + 1], y_power[di_c + 1]
     )
     y_tab = (1.0 - dw) * y_lower + dw * y_upper
     y_inf = _from_linear_cdf_table(

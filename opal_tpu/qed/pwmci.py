@@ -68,9 +68,22 @@ def prepare(tables: np.ndarray) -> PreparedTables:
         beta = np.where(sec_r != 0.0, m1 / sec_r, 0.0)
     m1 = np.where((sec_r != 0.0) & (beta > 3.0), 3.0 * sec_r, m1)
 
+    # Keep host numpy arrays: they trace into jitted consumers as HLO
+    # constants.  (Eager jnp arrays here would be closure-captured
+    # device buffers — on remote-attached TPUs executing such a program
+    # permanently degrades dispatch to a ~27 ms/call sync path.)
     return PreparedTables(
-        x=jnp.asarray(x), f=jnp.asarray(f), m0=jnp.asarray(m0), m1=jnp.asarray(m1)
+        x=np.ascontiguousarray(x),
+        f=np.ascontiguousarray(f),
+        m0=np.ascontiguousarray(m0),
+        m1=np.ascontiguousarray(m1),
     )
+
+
+def as_constants(prep: PreparedTables) -> PreparedTables:
+    """Bind the host tables as (trace-time) jnp constants so traced
+    indices can gather from them."""
+    return PreparedTables(*(jnp.asarray(a) for a in prep))
 
 
 def _segment(prep: PreparedTables, tidx, seg):
@@ -104,6 +117,7 @@ def evaluate(prep: PreparedTables, tidx, x):
     ``None`` there, ``pwmci.rs:104-106``).  Below-range queries
     extrapolate with the first segment, as in the reference.
     """
+    prep = as_constants(prep)
     tidx = jnp.asarray(tidx)
     x = jnp.asarray(x)
     n = prep.x.shape[1]
@@ -123,6 +137,7 @@ def invert(prep: PreparedTables, tidx, fq):
     ``pwmci.rs:121-123``).  Uses fixed-count bisection (monotone cubic →
     bracketing is exact).
     """
+    prep = as_constants(prep)
     tidx = jnp.asarray(tidx)
     fq = jnp.asarray(fq)
     n = prep.f.shape[1]

@@ -37,7 +37,7 @@ from . import constants as const
 from .fields import make_mesh, sm_mask, zero_fields
 from .grid import HALO, GridGeometry, apply_boundaries, em_field_energy_local
 from .ops import maxwell
-from .ops.deposit import deposit
+from .ops.deposit import deposit, deposit_sorted
 from .ops.interp import fields_at
 from .ops.pusher import boris_push, photon_push, vay_push
 from .parallel import halo
@@ -84,6 +84,10 @@ class SimOptions:
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)
     migration: bool = True
+    # deposition algorithm: 'sorted' (argsort + segmented sums — fast
+    # on TPU, blocked summation order) or 'scatter' (XLA scatter-add,
+    # index summation order)
+    deposit_method: str = "sorted"
 
 
 class Simulation:
@@ -241,12 +245,13 @@ class Simulation:
         J_slab = jnp.zeros((n_slab, 3), E.dtype)
         rho_slab = jnp.zeros((n_slab,), E.dtype)
         if opt.current_deposition:
+            dep = deposit_sorted if opt.deposit_method == "sorted" else deposit
             for name, spec in self.specs.items():
                 if spec.charge == 0.0:
                     continue
                 st = species[name]
                 macrocharge = jnp.where(st.alive, st.weight * spec.charge, 0.0)
-                J_slab, rho_slab = deposit(
+                J_slab, rho_slab = dep(
                     J_slab, rho_slab, st.cell + HALO, st.x, st.prev_x,
                     macrocharge, self._velocity(spec, st), geom.dx, opt.dt,
                 )
