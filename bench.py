@@ -102,11 +102,17 @@ def main(argv=None):
     key = jax.random.key(0)
 
     # warmup / compile — same nsteps as the timed block so the single
-    # cached executable is reused (nsteps is a static argument)
+    # cached executable is reused (nsteps is a static argument).  Two
+    # warmup calls: the second proves the carried-over state hits the
+    # same executable (a sharding mismatch would silently recompile
+    # inside the timed block).
     t0 = time.monotonic()
     out = sim.run(E, B, J, rho, species, 0.0, key, counters, args.steps)
     jax.block_until_ready(out)
     compile_s = time.monotonic() - t0
+    E, B, J, rho, species, t, counters = out
+    out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
+    jax.block_until_ready(out)
     E, B, J, rho, species, t, counters = out
 
     t0 = time.monotonic()

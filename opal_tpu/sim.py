@@ -358,8 +358,16 @@ class Simulation:
         )(E, B, species)
 
     def zero_counters(self):
+        # committed with the replicated sharding the step returns, so a
+        # second run() call with carried-over counters hits the same
+        # executable (uncommitted inputs would change the input avals
+        # and force a ~20s recompile through the remote-compile path)
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-        return {name: jnp.zeros((), itype) for name in self.specs}
+        rep = NamedSharding(self.mesh, P())
+        return {
+            name: jax.device_put(jnp.zeros((), itype), rep)
+            for name in self.specs
+        }
 
     def zero_events(self):
         """Empty per-device event-record ring: (ring, per-device count).
@@ -385,9 +393,11 @@ class Simulation:
         rest = ()
         if self._event_log:
             rest = (events if events is not None else self.zero_events(),)
+        t0 = jax.device_put(
+            jnp.asarray(t0, self.dtype), NamedSharding(self.mesh, P())
+        )
         return self._run(
-            E, B, J, rho, species, jnp.asarray(t0, self.dtype), key, counters,
-            *rest, nsteps=nsteps,
+            E, B, J, rho, species, t0, key, counters, *rest, nsteps=nsteps,
         )
 
     def em_field_energy(self, E, B) -> float:
