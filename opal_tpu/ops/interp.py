@@ -94,12 +94,12 @@ def fields_at(E, B, idx, xi):
             jnp.roll(E, -2, axis=0),  # g+2 (E only)
         ],
         axis=1,
-    )  # (n, 21)
-    rows = table[idx]
-    Em1, Bm1 = rows[:, 0:3], rows[:, 3:6]
-    E0, B0 = rows[:, 6:9], rows[:, 9:12]
-    Ep1, Bp1 = rows[:, 12:15], rows[:, 15:18]
-    Ep2 = rows[:, 18:21]
+    ).T  # (21, n): components on the leading axis, cells on lanes
+    rows = table[:, idx]  # ONE gather -> (21, N), each row contiguous
+    Em1, Bm1 = rows[0:3], rows[3:6]
+    E0, B0 = rows[6:9], rows[9:12]
+    Ep1, Bp1 = rows[12:15], rows[15:18]
+    Ep2 = rows[18:21]
 
     # centred weights (half-integer stagger)
     wc_m1 = weight(0.5 + xi)
@@ -111,13 +111,13 @@ def fields_at(E, B, idx, xi):
     we_p1 = weight(1.0 - xi)
     we_p2 = weight(2.0 - xi)
 
-    Ex = Em1[:, 0] * wc_m1 + E0[:, 0] * wc_0 + Ep1[:, 0] * wc_p1
-    Ey = Em1[:, 1] * we_m1 + E0[:, 1] * we_0 + Ep1[:, 1] * we_p1 + Ep2[:, 1] * we_p2
-    Ez = Em1[:, 2] * we_m1 + E0[:, 2] * we_0 + Ep1[:, 2] * we_p1 + Ep2[:, 2] * we_p2
+    Ex = Em1[0] * wc_m1 + E0[0] * wc_0 + Ep1[0] * wc_p1
+    Ey = Em1[1] * we_m1 + E0[1] * we_0 + Ep1[1] * we_p1 + Ep2[1] * we_p2
+    Ez = Em1[2] * we_m1 + E0[2] * we_0 + Ep1[2] * we_p1 + Ep2[2] * we_p2
 
-    Bx = B0[:, 0]
-    By = Bm1[:, 1] * wc_m1 + B0[:, 1] * wc_0 + Bp1[:, 1] * wc_p1
-    Bz = Bm1[:, 2] * wc_m1 + B0[:, 2] * wc_0 + Bp1[:, 2] * wc_p1
+    Bx = B0[0]
+    By = Bm1[1] * wc_m1 + B0[1] * wc_0 + Bp1[1] * wc_p1
+    Bz = Bm1[2] * wc_m1 + B0[2] * wc_0 + Bp1[2] * wc_p1
 
     Ep = jnp.stack([Ex, Ey, Ez], axis=-1)
     Bp = jnp.stack([Bx, By, Bz], axis=-1)
