@@ -111,14 +111,28 @@ def fields_at(E, B, idx, xi):
     we_p1 = weight(1.0 - xi)
     we_p2 = weight(2.0 - xi)
 
-    Ex = Em1[0] * wc_m1 + E0[0] * wc_0 + Ep1[0] * wc_p1
-    Ey = Em1[1] * we_m1 + E0[1] * we_0 + Ep1[1] * we_p1 + Ep2[1] * we_p2
-    Ez = Em1[2] * we_m1 + E0[2] * we_0 + Ep1[2] * we_p1 + Ep2[2] * we_p2
-
-    Bx = B0[0]
-    By = Bm1[1] * wc_m1 + B0[1] * wc_0 + Bp1[1] * wc_p1
-    Bz = Bm1[2] * wc_m1 + B0[2] * wc_0 + Bp1[2] * wc_p1
-
-    Ep = jnp.stack([Ex, Ey, Ez], axis=-1)
-    Bp = jnp.stack([Bx, By, Bz], axis=-1)
+    # one weighted contraction over the 21 gathered rows: multiply by a
+    # (21, N) weight matrix built from 7 broadcast weight vectors and
+    # reduce 21 -> 6 via a reshape-sum — a single pass over the data
+    # (expressing it as 16 scalar dot-products made XLA emit 16
+    # separate full-array passes)
+    zero = jnp.zeros_like(wc_0)
+    w21 = jnp.stack(
+        [
+            wc_m1, we_m1, we_m1, zero, wc_m1, wc_m1,  # g-1: E, B
+            wc_0, we_0, we_0, jnp.ones_like(wc_0), wc_0, wc_0,  # g
+            wc_p1, we_p1, we_p1, zero, wc_p1, wc_p1,  # g+1
+            zero, we_p2, we_p2,  # g+2 (E only)
+        ]
+    )  # (21, N)
+    weighted = rows * w21
+    # rows order: [E(g-1) B(g-1) E(g) B(g) E(g+1) B(g+1) E(g+2)] with
+    # 3 components each -> sum the 6-column groups (pad E(g+2) into a
+    # virtual 4th group of zeros for B)
+    padded = jnp.concatenate(
+        [weighted, jnp.zeros((3,) + weighted.shape[1:], weighted.dtype)]
+    )  # (24, N)
+    out = jnp.sum(padded.reshape(4, 6, -1), axis=0)  # (6, N)
+    Ep = out[0:3].T
+    Bp = out[3:6].T
     return Ep, Bp
