@@ -115,17 +115,22 @@ def deposit_sorted(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     bnd = jnp.searchsorted(idx_s, jnp.arange(n_slab + 1, dtype=idx_s.dtype))
     seg = cum[bnd[1:]] - cum[bnd[:-1]]  # (n_slab, 15) per-source-cell sums
 
-    # route each column to its target component, shifted by its offset:
-    # particles in cell c deposit column k at cell c + off.  The rolled
-    # wrap-around rows are zero: alive particles live in
-    # [HALO, HALO + n_loc) and |off| <= 2 < HALO.
-    for col, off, comp in plan:
-        s = jnp.roll(seg[:, col], off)
-        if comp == 3:
-            rho = rho + s
-        else:
-            J = J.at[:, comp].add(s)
-    return J, rho
+    # shift every column by its offset in ONE gather (particles in cell
+    # c deposit column k at cell c + off_k), then assemble the outputs
+    # in one pass — per-column rolls would be 15 tiny kernels, and the
+    # per-kernel launch cost dominates at this size.  Wrapped rows are
+    # zero: alive particles live in [HALO, HALO + n_loc) and
+    # |off| <= 2 < HALO.
+    offs = jnp.asarray([off for _, off, _ in plan])
+    src = (jnp.arange(n_slab)[:, None] - offs[None, :]) % n_slab
+    shifted = jnp.take_along_axis(seg, src, axis=0)  # (n_slab, 15)
+
+    comp_of = [comp for _, _, comp in plan]
+    Jx = sum(shifted[:, k] for k in range(15) if comp_of[k] == 0)
+    Jy = sum(shifted[:, k] for k in range(15) if comp_of[k] == 1)
+    Jz = sum(shifted[:, k] for k in range(15) if comp_of[k] == 2)
+    r = sum(shifted[:, k] for k in range(15) if comp_of[k] == 3)
+    return J + jnp.stack([Jx, Jy, Jz], axis=-1), rho + r
 
 
 def deposit(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):

@@ -15,12 +15,70 @@ practically impossible.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, tree_util
 
 from ..grid import GridGeometry
 from ..species import ParticleState
+
+
+def _layout(state: ParticleState):
+    """(name, flat width, dtype, trailing shape) per non-None field, in
+    dataclass order."""
+    out = []
+    for f in dataclasses.fields(state):
+        a = getattr(state, f.name)
+        if a is not None:
+            w = 1 if a.ndim == 1 else int(np.prod(a.shape[1:]))
+            out.append((f.name, w, a.dtype, a.shape[1:]))
+    return out
+
+
+def pack_state(state: ParticleState, dtype) -> jnp.ndarray:
+    """Flatten the whole SoA into one (N, K) float matrix for
+    transport.  Integer cells are exact in float (|cell| << 2^24) and
+    the alive bit becomes 0/1 — see :func:`unpack_state`.
+
+    Per-field tree_map transport costs one kernel launch per field per
+    hop; at the measured ~0.5 ms/launch inside a device loop that
+    dwarfs the data movement, so migration moves a single matrix.
+    """
+    pieces = []
+    for name, w, _, _ in _layout(state):
+        a = getattr(state, name)
+        pieces.append(a.reshape(a.shape[0], w).astype(dtype))
+    return jnp.concatenate(pieces, axis=1)
+
+
+def unpack_state(packed: jnp.ndarray, template: ParticleState) -> ParticleState:
+    """Inverse of :func:`pack_state` (shapes/dtypes from template)."""
+    fields = {f.name: None for f in dataclasses.fields(template)}
+    i = 0
+    for name, w, dt, tail in _layout(template):
+        sl = packed[:, i : i + w]
+        a = sl.reshape((packed.shape[0],) + tail) if tail else sl[:, 0]
+        if dt == jnp.bool_:
+            a = a > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            a = jnp.round(a).astype(dt)
+        else:
+            a = a.astype(dt)
+        fields[name] = a
+        i += w
+    return ParticleState(**fields)
+
+
+def _column_index(state: ParticleState, field: str) -> int:
+    i = 0
+    for name, w, _, _ in _layout(state):
+        if name == field:
+            return i
+        i += w
+    raise KeyError(field)
 
 
 def migrate(
@@ -71,57 +129,53 @@ def migrate(
     lane = jnp.arange(cap)
     left_valid = lane < n_left
     right_valid = lane < n_right
-
-    left_buf = tree_util.tree_map(lambda a: a[left_table], state)
-    right_buf = tree_util.tree_map(lambda a: a[right_table], state)
     overflow = jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
 
+    # --- packed transport: one matrix instead of one op per field ----
+    fdtype = state.x.dtype
+    packed = pack_state(state, fdtype)
+    K = packed.shape[1]
+    cell_col = _column_index(state, "cell")
+    alive_col = _column_index(state, "alive")
+
     # cell reindex for the receiving side (mod.rs:291-293, 366-368)
-    left_buf = tree_util.tree_map_with_path(
-        lambda p, a: a + n_loc if p[0].name == "cell" else a, left_buf
-    )
-    right_buf = tree_util.tree_map_with_path(
-        lambda p, a: a - n_loc if p[0].name == "cell" else a, right_buf
-    )
+    left_rows = packed[left_table].at[:, cell_col].add(n_loc)
+    right_rows = packed[right_table].at[:, cell_col].add(-n_loc)
 
     perm_to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
     perm_to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
-
-    from_right = tree_util.tree_map(
-        lambda a: lax.ppermute(a, axis_name, perm_to_left), left_buf
-    )
+    from_right = lax.ppermute(left_rows, axis_name, perm_to_left)
     from_right_valid = lax.ppermute(left_valid, axis_name, perm_to_left)
-    from_left = tree_util.tree_map(
-        lambda a: lax.ppermute(a, axis_name, perm_to_right), right_buf
-    )
+    from_left = lax.ppermute(right_rows, axis_name, perm_to_right)
     from_left_valid = lax.ppermute(right_valid, axis_name, perm_to_right)
 
-    # mark all leavers and boundary-deleted particles dead, clearing
-    # their kinematics so later pushes are inert
+    # mark all leavers and boundary-deleted particles dead, zeroing
+    # cell/weight/u/alive so later pushes and deposits are inert
     gone = go_left | go_right | deleted
-    state = _clear(state, gone)
-
-    # merge both receive buffers and insert into free slots
-    recv = tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b]), from_left, from_right
+    clear_cols = np.zeros(K, bool)
+    for f in ("cell", "weight", "alive"):
+        clear_cols[_column_index(state, f)] = True
+    uc = _column_index(state, "u")
+    clear_cols[uc : uc + 3] = True
+    packed = jnp.where(
+        gone[:, None] & jnp.asarray(clear_cols)[None, :], 0.0, packed
     )
+
+    # --- insert received rows into dead slots ------------------------
+    recv = jnp.concatenate([from_left, from_right])
     recv_valid = jnp.concatenate([from_left_valid, from_right_valid])
-    state, ins_overflow = insert(state, recv, recv_valid)
+    m = recv_valid.shape[0]
+    alive_after = state.alive & ~gone
+    n_free = jnp.sum(~alive_after)
+    slots = jnp.argsort(alive_after, stable=True)[:m].astype(jnp.int32)
+    rank = jnp.cumsum(recv_valid) - 1
+    ok = recv_valid & (rank < n_free)
+    dest = jnp.where(ok, slots[jnp.clip(rank, 0, m - 1)], n)
+    packed = packed.at[dest].set(recv, mode="drop")
+    ins_overflow = jnp.sum(recv_valid) - jnp.sum(ok)
+
+    state = unpack_state(packed, state)
     return state, overflow + ins_overflow
-
-
-def _clear(state: ParticleState, mask):
-    def clr(path, a):
-        name = path[0].name
-        if name == "alive":
-            return a & ~mask
-        if name in ("cell", "weight"):
-            return jnp.where(mask, 0, a).astype(a.dtype)
-        if name == "u":
-            return jnp.where(mask[:, None], 0.0, a)
-        return a
-
-    return tree_util.tree_map_with_path(clr, state)
 
 
 def insert(state: ParticleState, buf: ParticleState, valid):
