@@ -37,25 +37,7 @@ from .species import ParticleState
 _TINY = 1.0e-300
 
 
-def _orthogonal(v):
-    """A unit vector orthogonal to v (``vec3.rs:120-127``)."""
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    use_xy = jnp.abs(x) > jnp.abs(z)
-    perp = jnp.where(
-        use_xy[..., None],
-        jnp.stack([-y, x, jnp.zeros_like(x)], axis=-1),
-        jnp.stack([jnp.zeros_like(x), -z, y], axis=-1),
-    )
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(perp * perp, axis=-1), _TINY))
-    return perp / norm[..., None]
-
-
-def _rotate_around(v, axis, theta):
-    """Rodrigues rotation of v about a unit axis (``vec3.rs:129-143``)."""
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    axis_dot_v = jnp.sum(axis * v, axis=-1, keepdims=True)
-    return v * c + jnp.cross(axis, v) * s + axis * axis_dot_v * (1.0 - c)
+from .vec3 import orthogonal as _orthogonal, rotate_around as _rotate_around
 
 
 def emit_radiation(sim, species, t, key):
