@@ -29,9 +29,12 @@ BASELINE_NODE_PUSHES_PER_SEC = 3.2e8  # estimated reference CPU node
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--particles", type=float, default=2.0e7)
+    # default size: the single-chip throughput sweet spot measured on
+    # v5e (per-particle cost rises past ~4M: sort NlogN + intermediate
+    # working set); larger runs shard over more chips instead
+    parser.add_argument("--particles", type=float, default=2.0 * 2**20)
     parser.add_argument("--nx", type=int, default=1024)
-    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--deposition", action="store_true", default=True)

@@ -115,12 +115,17 @@ def migrate(
         deleted = jnp.zeros_like(go_left)
 
     cap = min(send_capacity, state.alive.shape[0])
-    # one 3-way key sort replaces two scatter-built compaction tables
-    # (a 2.6M-source scatter costs ~12 ms on TPU; the sort ~4 ms):
-    # leavers-left sort to the front, leavers-right to the back.
+    # ONE 4-way key sort yields the send tables at both ends AND the
+    # dead-slot table for insertion in the middle (scatter-built
+    # compaction tables cost ~3x more, and a separate dead-slot sort
+    # would double the sort cost): left-leavers | dead | alive | right.
     n = state.alive.shape[0]
-    key3 = jnp.where(go_left, 0, jnp.where(go_right, 2, 1)).astype(jnp.int8)
-    perm = jnp.argsort(key3, stable=True)
+    gone = go_left | go_right | deleted
+    dead_after = ~(state.alive & ~gone)
+    key4 = jnp.where(
+        go_left, 0, jnp.where(go_right, 3, jnp.where(dead_after, 1, 2))
+    ).astype(jnp.int8)
+    perm = jnp.argsort(key4, stable=True)
     n_left = jnp.sum(go_left)
     n_right = jnp.sum(go_right)
 
@@ -151,7 +156,6 @@ def migrate(
 
     # mark all leavers and boundary-deleted particles dead, zeroing
     # cell/weight/u/alive so later pushes and deposits are inert
-    gone = go_left | go_right | deleted
     clear_cols = np.zeros(K, bool)
     for f in ("cell", "weight", "alive"):
         clear_cols[_column_index(state, f)] = True
@@ -165,12 +169,14 @@ def migrate(
     recv = jnp.concatenate([from_left, from_right])
     recv_valid = jnp.concatenate([from_left_valid, from_right_valid])
     m = recv_valid.shape[0]
-    alive_after = state.alive & ~gone
-    n_free = jnp.sum(~alive_after)
-    slots = jnp.argsort(alive_after, stable=True)[:m].astype(jnp.int32)
+    # free slots for insertion = the key-1 region perm[n_left : ...]
+    # (dead slots that are NOT this step's leavers; leavers sort into
+    # the end buckets, so their slots only become reusable next step)
+    n_free = jnp.sum(dead_after) - n_left - n_right
     rank = jnp.cumsum(recv_valid) - 1
     ok = recv_valid & (rank < n_free)
-    dest = jnp.where(ok, slots[jnp.clip(rank, 0, m - 1)], n)
+    slot_idx = jnp.clip(n_left + rank, 0, n - 1).astype(jnp.int32)
+    dest = jnp.where(ok, perm[slot_idx], n)
     packed = packed.at[dest].set(recv, mode="drop")
     ins_overflow = jnp.sum(recv_valid) - jnp.sum(ok)
 
