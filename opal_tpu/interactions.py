@@ -199,51 +199,73 @@ def absorb(sim, species, t, key, axis_index=None):
     w_e_sorted = e.weight[order]
     cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
 
-    def body(kk, carry):
-        tau_abs, tau_st, done, ev_kind, ev_idx, ev_pabs, ev_pst = carry
-        idx = p_start + kk
-        valid = (~done) & active & (idx < p_end)
-        idx_c = jnp.clip(idx, 0, n_e - 1)
+    # Candidate walk, block-vectorized: each sequential pass examines a
+    # (n_ph, B) block of cell-mates at once (the per-kernel launch cost
+    # makes K truly-serial iterations prohibitive); within a block the
+    # reference's one-at-a-time optical-depth decrements become
+    # cumulative sums, and the first crossing wins — identical
+    # first-event semantics (interactions.rs:244-258).
+    B = max(1, min(opt.absorption_block, K))
+    nb = -(-K // B)
+    karr = jnp.arange(B)
 
-        p4 = p4_e_sorted[idx_c]
+    def body(bi, carry):
+        tau_abs, tau_st, done, ev_kind, ev_idx = carry
+        idxb = (p_start + bi * B)[:, None] + karr[None, :]  # (n_ph, B)
+        valid = (~done)[:, None] & active[:, None] & (idxb < p_end[:, None])
+        idx_c = jnp.clip(idxb, 0, n_e - 1)
+
+        p4 = p4_e_sorted[idx_c]  # (n_ph, B, 4)
         chi_e = chi_e_sorted[idx_c]
         w_e = w_e_sorted[idx_c]
 
-        sig_abs, _ = cross_sections.photon_absorption(k4_ph, p4, ph.chi, chi_e)
+        sig_abs, _ = cross_sections.photon_absorption(
+            k4_ph[:, None, :], p4, ph.chi[:, None], chi_e
+        )
         p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
         if opt.stimulated_emission:
             sig_st, _ = cross_sections.stimulated_emission(
-                k4_ph, p4, ph.chi, chi_e
+                k4_ph[:, None, :], p4, ph.chi[:, None], chi_e
             )
             p_st = jnp.where(valid, w_e * cdt_dx * sig_st, 0.0)
         else:
             p_st = jnp.zeros_like(p_abs)
 
-        tau_abs = tau_abs - p_abs
-        tau_st = tau_st - p_st
+        cum_abs = jnp.cumsum(p_abs, axis=1)
+        cum_st = jnp.cumsum(p_st, axis=1)
+        # only a valid candidate column can fire (a dead or finished
+        # photon's already-negative depth must not re-trigger)
+        abs_fire = valid & ((tau_abs[:, None] - cum_abs) < 0.0)
+        st_fire = valid & ((tau_st[:, None] - cum_st) < 0.0)
+        k_abs = jnp.where(jnp.any(abs_fire, 1), jnp.argmax(abs_fire, 1), B)
+        k_st = jnp.where(jnp.any(st_fire, 1), jnp.argmax(st_fire, 1), B)
+        k_ev = jnp.minimum(k_abs, k_st)
+        event = k_ev < B
+        both = event & (k_abs == k_st)
 
-        r = jax.random.uniform(jax.random.fold_in(key, kk), (n_ph,), dtype)
-        both = (tau_abs < 0.0) & (tau_st < 0.0)
-        choose_abs = r < p_abs / jnp.maximum(p_abs + p_st, _TINY)
-        absorbed_now = valid & (
-            (both & choose_abs) | ((tau_abs < 0.0) & ~(tau_st < 0.0))
+        kc = jnp.clip(k_ev, 0, B - 1)[:, None]
+        take = lambda m: jnp.take_along_axis(m, kc, axis=1)[:, 0]
+        pa_k, ps_k = take(p_abs), take(p_st)
+        r = jax.random.uniform(jax.random.fold_in(key, bi), (n_ph,), dtype)
+        choose_abs = r < pa_k / jnp.maximum(pa_k + ps_k, _TINY)
+        absorbed_now = event & (
+            (both & choose_abs) | (~both & (k_abs < k_st))
         )
-        stim_now = valid & (
-            (both & ~choose_abs) | ((tau_st < 0.0) & ~(tau_abs < 0.0))
-        )
-        event = absorbed_now | stim_now
+        stim_now = event & ~absorbed_now
 
-        # stimulated emission resets tau_st (and tau_abs when both fired)
+        # optical depths: decrement by the full block without an event,
+        # else stop at the event column (the reference stops scanning)
+        new_abs = tau_abs - jnp.where(event, take(cum_abs), cum_abs[:, -1])
+        new_st = tau_st - jnp.where(event, take(cum_st), cum_st[:, -1])
         exp1 = jax.random.exponential(
-            jax.random.fold_in(key, 1000 + kk), (2, n_ph), dtype
+            jax.random.fold_in(key, 1000 + bi), (2, n_ph), dtype
         )
-        tau_abs = jnp.where(stim_now & both, exp1[0], tau_abs)
-        tau_st = jnp.where(stim_now, exp1[1], tau_st)
+        new_abs = jnp.where(stim_now & both, exp1[0], new_abs)
+        new_st = jnp.where(stim_now, exp1[1], new_st)
 
         ev_kind = jnp.where(event, jnp.where(absorbed_now, 1, 2), ev_kind)
-        ev_idx = jnp.where(event, idx_c, ev_idx)
-        done = done | event
-        return (tau_abs, tau_st, done, ev_kind, ev_idx, ev_pabs, ev_pst)
+        ev_idx = jnp.where(event, take(idx_c).astype(jnp.int32), ev_idx)
+        return (new_abs, new_st, done | event, ev_kind, ev_idx)
 
     init = (
         ph.tau_abs,
@@ -251,10 +273,8 @@ def absorb(sim, species, t, key, axis_index=None):
         jnp.zeros(n_ph, bool),
         jnp.zeros(n_ph, jnp.int32),
         jnp.zeros(n_ph, jnp.int32),
-        jnp.zeros(n_ph, dtype),
-        jnp.zeros(n_ph, dtype),
     )
-    tau_abs, tau_st, done, ev_kind, ev_idx, _, _ = lax.fori_loop(0, K, body, init)
+    tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(0, nb, body, init)
 
     absorbed = ev_kind == 1
     stimulated = ev_kind == 2

@@ -80,6 +80,10 @@ class SimOptions:
     # capacity planning
     migration_capacity: int = 4096
     absorption_candidates: int = 64
+    # candidates examined per sequential pass of the absorption walk:
+    # each pass is vectorized over (photons, block); only ceil(K/block)
+    # passes run serially (kernel-launch count is the real cost)
+    absorption_block: int = 32
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)
