@@ -41,6 +41,9 @@ def main(argv=None):
     parser.add_argument("--no-deposition", dest="deposition", action="store_false")
     parser.add_argument("--no-migration", dest="migration", action="store_false",
                         default=True, help="bench A/B: skip the migration pass")
+    parser.add_argument("--qed", action="store_true",
+                        help="enable QED emission + absorption (adds a photon "
+                             "population; colliding-beams-style workload)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the timed block")
     parser.add_argument("--verbose", action="store_true")
@@ -76,13 +79,23 @@ def main(argv=None):
     dx = 500.0
     dt = 0.95 * dx / const.SPEED_OF_LIGHT
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    if args.qed:
+        # colliding-beams physics: relativistic beam, QED on
+        dx = 1.0e-8
+        dt = 0.95 * dx / const.SPEED_OF_LIGHT
+        geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
     opts = SimOptions(
         dt=dt, current_deposition=args.deposition, migration=args.migration,
+        photon_emission=args.qed, photon_absorption=args.qed,
         migration_capacity=max(4096, n_particles // ndev // 64),
+        absorption_candidates=64,
     )
     espec = SpeciesSpec.electron()
+    specs = {"electron": espec}
+    if args.qed:
+        specs["photon"] = SpeciesSpec.photon()
     sim = Simulation(
-        geom, opts, {"electron": espec},
+        geom, opts, specs,
         dtype=jnp.float64 if args.f64 else jnp.float32,
     )
 
@@ -90,17 +103,34 @@ def main(argv=None):
     cap = int(n_particles // ndev * 1.25)
     # particles are generated on their owning devices: nothing big
     # crosses host->device (matters on remote-attached TPUs)
+    if args.qed:
+        ux_fn = lambda x, u, n: -1000.0 * (1.0 + 0.01 * n)
+    else:
+        ux_fn = lambda x, u, n: drift * (1.0 + 0.001 * n) * jnp.sign(u - 0.5)
     state = initialize_device(
         espec, geom, sim.mesh, npc,
         density=lambda x: jnp.full_like(jnp.asarray(x), 20.0),
-        ux=lambda x, u, n: drift * (1.0 + 0.001 * n) * jnp.sign(u - 0.5),
+        ux=ux_fn,
         uy=lambda x, u, n: jnp.zeros_like(x),
         uz=lambda x, u, n: jnp.zeros_like(x),
         dt=dt, capacity_per_device=cap, seed=0,
         dtype=jnp.float64 if args.f64 else jnp.float32,
     )
     species = {"electron": state}
+    if args.qed:
+        zero_fn = lambda x, u, n: jnp.zeros_like(jnp.asarray(x))
+        species["photon"] = initialize_device(
+            SpeciesSpec.photon(), geom, sim.mesh, 0,
+            density=lambda x: jnp.zeros_like(jnp.asarray(x)),
+            ux=zero_fn, uy=zero_fn, uz=zero_fn,
+            dt=dt, capacity_per_device=cap, seed=1,
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+        )
     E, B, J, rho = sim.init_fields()
+    if args.qed:
+        # strong transverse field so the emission/absorption paths fire
+        b0 = const.CRITICAL_FIELD / (1000.0 * const.SPEED_OF_LIGHT)
+        B = jax.device_put(jnp.zeros_like(B).at[:, 2].set(b0), B.sharding)
     counters = sim.zero_counters()
     key = jax.random.key(0)
 

@@ -194,9 +194,13 @@ def absorb(sim, species, t, key, axis_index=None):
         active = active & (r_perp <= opt.max_displacement)
 
     k4_ph = jnp.concatenate([ph.gamma[:, None], ph.u], axis=1)
-    p4_e_sorted = jnp.concatenate([e.gamma[:, None], e.u], axis=1)[order]
-    chi_e_sorted = e.chi[order]
-    w_e_sorted = e.weight[order]
+    # one packed (n_e, 6) electron table [p4 | chi | w], sorted by cell:
+    # the candidate walk then does a single row gather per block (three
+    # separate column gathers fused into the cross-section math make
+    # the TPU backend scalarize the whole computation)
+    e_table = jnp.concatenate(
+        [e.gamma[:, None], e.u, e.chi[:, None], e.weight[:, None]], axis=1
+    )[order]
     cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
 
     # Candidate walk, block-vectorized: each sequential pass examines a
@@ -215,9 +219,10 @@ def absorb(sim, species, t, key, axis_index=None):
         valid = (~done)[:, None] & active[:, None] & (idxb < p_end[:, None])
         idx_c = jnp.clip(idxb, 0, n_e - 1)
 
-        p4 = p4_e_sorted[idx_c]  # (n_ph, B, 4)
-        chi_e = chi_e_sorted[idx_c]
-        w_e = w_e_sorted[idx_c]
+        rows = e_table[idx_c]  # (n_ph, B, 6) single row gather
+        p4 = rows[..., 0:4]
+        chi_e = rows[..., 4]
+        w_e = rows[..., 5]
 
         sig_abs, _ = cross_sections.photon_absorption(
             k4_ph[:, None, :], p4, ph.chi[:, None], chi_e

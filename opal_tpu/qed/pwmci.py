@@ -146,12 +146,15 @@ def invert(prep: PreparedTables, tidx, fq):
     seg = jnp.clip(idx - 1, 0, n - 2)
     x0, x1, f0, f1, m0, m1 = _segment(prep, tidx, seg)
 
-    def body(_, ab):
-        a, b = ab
+    # unrolled (not fori_loop): each halving is a handful of
+    # elementwise ops, and unrolling lets XLA fuse the whole bisection
+    # into one kernel — a device loop would pay the per-iteration
+    # kernel-launch cost 32 times
+    a, b = x0, x1
+    for _ in range(BISECTION_ITERS):
         mid = 0.5 * (a + b)
         fmid = _hermite(mid, x0, x1, f0, f1, m0, m1)
         go_right = fmid < fq
-        return jnp.where(go_right, mid, a), jnp.where(go_right, b, mid)
-
-    a, b = lax.fori_loop(0, BISECTION_ITERS, body, (x0, x1))
+        a = jnp.where(go_right, mid, a)
+        b = jnp.where(go_right, b, mid)
     return 0.5 * (a + b), in_range
