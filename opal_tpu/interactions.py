@@ -132,7 +132,7 @@ def emit_radiation(sim, species, t, key):
         alive=keep,
         # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
         pol=jnp.zeros((n, 4), dtype),
-        basis=jnp.stack([k_ph, k_ph], axis=1),
+        basis=jnp.concatenate([k_ph, k_ph], axis=1),
     )
     ph, overflow = insert(ph, buf, keep)
     return {**species, "electron": e, "photon": ph}, overflow

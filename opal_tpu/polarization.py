@@ -13,7 +13,7 @@ two transverse basis vectors ``basis: [Vec3; 2]`` per photon
 
 Here these are batched pure functions over the photon SoA: ``pol`` is
 an (N, 4) real array ``[re a₁, im a₁, re a₂, im a₂]`` and ``basis`` an
-(N, 2, 3) array — complex numbers unpacked into pairs so every array is
+(N, 6) array ``[e₁ | e₂]`` — complex numbers unpacked into pairs so every array is
 a plain float pytree leaf (TPU-friendly; no complex dtype needed on the
 hot path, which never touches these fields).
 """
@@ -49,7 +49,7 @@ def with_polarization_along(state: ParticleState, direction) -> ParticleState:
         _normalize(jnp.asarray(direction, dtype)), (n, 3)
     )
     e2 = _normalize(jnp.cross(state.u, e1))
-    basis = jnp.stack([e1, e2], axis=1)
+    basis = jnp.concatenate([e1, e2], axis=1)
     pol = jnp.zeros((n, 4), dtype).at[:, 0].set(1.0)
     return dataclasses.replace(state, pol=pol, basis=basis)
 
@@ -60,8 +60,8 @@ def linear_polarization_along(state: ParticleState, direction):
     if state.pol is None or state.basis is None:
         raise ValueError("species does not carry polarization state")
     d = _normalize(jnp.asarray(direction, state.pol.dtype))
-    d1 = jnp.sum(d * state.basis[:, 0], axis=-1)
-    d2 = jnp.sum(d * state.basis[:, 1], axis=-1)
+    d1 = jnp.sum(d * state.basis[:, 0:3], axis=-1)
+    d2 = jnp.sum(d * state.basis[:, 3:6], axis=-1)
     re = state.pol[:, 0] * d1 + state.pol[:, 2] * d2
     im = state.pol[:, 1] * d1 + state.pol[:, 3] * d2
     return re * re + im * im

@@ -76,7 +76,8 @@ class ParticleState:
     alive: jnp.ndarray  # (N,) bool
     # photon polarization (photon.rs:24-25): Jones vector over a basis
     # transverse to k.  pol = (N, 4) [re a1, im a1, re a2, im a2];
-    # basis = (N, 2, 3) the two (unit) basis vectors.
+    # basis = (N, 6) the two (unit) basis vectors flattened ((N, 2, 3)
+    # would tile as T(2,128) on TPU, wasting 125/128 lanes).
     pol: jnp.ndarray | None = None
     basis: jnp.ndarray | None = None
 
@@ -147,7 +148,7 @@ def _empty_fields(spec: SpeciesSpec, n: int, dtype):
         fields["tau_st"] = inf.copy()
         fields["birth_time"] = np.full(n, -np.inf, dtype)
         fields["pol"] = np.zeros((n, 4), dtype)
-        fields["basis"] = np.zeros((n, 2, 3), dtype)
+        fields["basis"] = np.zeros((n, 6), dtype)
     return fields
 
 
@@ -254,8 +255,8 @@ def initialize(
             fields["tau_st"][slots] = rng.exponential(size=n)
             fields["birth_time"][slots] = 0.0
             # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
-            fields["basis"][slots, 0] = u
-            fields["basis"][slots, 1] = u
+            fields["basis"][slots, 0:3] = u
+            fields["basis"][slots, 3:6] = u
 
     return ParticleState(**{k: (None if v is None else np.asarray(v)) for k, v in fields.items()})
 
@@ -384,7 +385,7 @@ def initialize_device(
             fields["birth_time"] = jnp.where(alive, 0.0, -jnp.inf)
             fields["pol"] = jnp.zeros((cap, 4), dtype)
             fields["basis"] = jnp.where(
-                alive[:, None, None], jnp.stack([u, u], axis=1), 0.0
+                alive[:, None], jnp.concatenate([u, u], axis=1), 0.0
             )
         return ParticleState(**fields)
 

@@ -21,10 +21,10 @@ def test_with_polarization_along_builds_right_handed_triad():
     st = polarization.with_polarization_along(st, [0.0, 0.0, 5.0])
     basis = np.asarray(st.basis)
     # e1 = z-hat for both
-    np.testing.assert_allclose(basis[:, 0], [[0, 0, 1], [0, 0, 1]], atol=1e-15)
+    np.testing.assert_allclose(basis[:, 0:3], [[0, 0, 1], [0, 0, 1]], atol=1e-15)
     # e2 = k-hat x e1: x-hat x z-hat = -y-hat; y-hat x z-hat = x-hat
-    np.testing.assert_allclose(basis[0, 1], [0, -1, 0], atol=1e-15)
-    np.testing.assert_allclose(basis[1, 1], [1, 0, 0], atol=1e-15)
+    np.testing.assert_allclose(basis[0, 3:6], [0, -1, 0], atol=1e-15)
+    np.testing.assert_allclose(basis[1, 3:6], [1, 0, 0], atol=1e-15)
     # Jones vector (1, 0): fully polarized along e1
     np.testing.assert_allclose(np.asarray(st.pol), [[1, 0, 0, 0]] * 2)
 
@@ -116,8 +116,8 @@ def test_emission_photons_carry_polarization_state(monkeypatch):
     assert alive.sum() > 0 and int(overflow) == 0
     np.testing.assert_array_equal(np.asarray(ph2.pol)[alive], 0.0)
     np.testing.assert_allclose(
-        np.asarray(ph2.basis)[alive, 0], np.asarray(ph2.u)[alive]
+        np.asarray(ph2.basis)[alive, 0:3], np.asarray(ph2.u)[alive]
     )
     np.testing.assert_allclose(
-        np.asarray(ph2.basis)[alive, 1], np.asarray(ph2.u)[alive]
+        np.asarray(ph2.basis)[alive, 3:6], np.asarray(ph2.u)[alive]
     )
