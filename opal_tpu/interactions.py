@@ -11,9 +11,11 @@ into shape-stable masked array programs:
   buffer (``interactions.rs:45-107``, ``electron.rs:208-251``).
 * ``absorb``: photons pair with electrons sharing their cell.  The
   reference scans electrons sequentially per photon and stops at the
-  first event; here a fixed-bound ``fori_loop`` walks the cell-sorted
-  electron segment with per-photon done-masks, preserving the
-  "first event wins" semantics (``interactions.rs:145-340``).
+  first event; here block-vectorized passes walk the cell-sorted
+  electron segment — per-candidate optical-depth decrements become
+  in-block cumulative sums with first-crossing-wins selection,
+  preserving the "first event wins" semantics
+  (``interactions.rs:145-340``).
 
 RNG is counter-based (threefry): every (step, purpose, lane) gets an
 independent stream, replacing the reference's per-chunk Xoshiro jumps.

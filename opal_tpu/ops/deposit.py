@@ -6,9 +6,11 @@ discrete continuity equation, and the transverse currents / charge
 density via b-spline weighting (reference: ``src/grid/yee.rs:551-641``).
 
 TPU mapping: the reference's per-thread private arrays with a serial
-reduction become a single batched scatter-add per component — XLA
-lowers this to a deterministic sorted scatter.  A faster Pallas
-replicated-bin kernel can be swapped in behind the same interface.
+reduction become, by default, a cell sort + blocked column cumulative
+sum + per-cell segment differences (:func:`deposit_sorted`) — measured
+~4x faster than XLA's scatter-add emitter on v5e.  The scatter-add
+formulation (:func:`deposit`) is kept for comparison and for its
+index-order summation.
 
 Parity notes (deliberate bug-for-bug reproduction of the reference):
 
