@@ -2,9 +2,11 @@
 
 Replaces the reference's sort + slice + synchronous-send exchange
 (``src/particle/mod.rs:284-375``) with fixed-capacity send buffers and
-``lax.ppermute`` over the mesh ring — shape-stable, no sorting
-required.  Particles that cross a non-periodic global boundary are
-deleted, as in the reference (leavers with no neighbour are dropped).
+``lax.ppermute`` over the mesh ring — shape-stable: one 4-way key sort
+compacts leavers to the buffer ends and exposes the dead slots for
+insertion, and the whole SoA travels as a single packed matrix.
+Particles that cross a non-periodic global boundary are deleted, as in
+the reference (leavers with no neighbour are dropped).
 
 Buffer overflow (more leavers in one step than the migration capacity)
 loses the excess particles; the count is accumulated and surfaced in
@@ -17,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax, tree_util
@@ -141,7 +142,6 @@ def migrate(
     packed = pack_state(state, fdtype)
     K = packed.shape[1]
     cell_col = _column_index(state, "cell")
-    alive_col = _column_index(state, "alive")
 
     # cell reindex for the receiving side (mod.rs:291-293, 366-368)
     left_rows = packed[left_table].at[:, cell_col].add(n_loc)

@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
+
 
 BISECTION_ITERS = 44
 
@@ -149,7 +149,7 @@ def invert(prep: PreparedTables, tidx, fq):
     # unrolled (not fori_loop): each halving is a handful of
     # elementwise ops, and unrolling lets XLA fuse the whole bisection
     # into one kernel — a device loop would pay the per-iteration
-    # kernel-launch cost 32 times
+    # kernel-launch cost per halving
     a, b = x0, x1
     for _ in range(BISECTION_ITERS):
         mid = 0.5 * (a + b)
