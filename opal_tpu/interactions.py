@@ -167,9 +167,15 @@ def absorb(sim, species, t, key, axis_index=None):
     dtype = e.x.dtype
 
     # --- cell-sorted electron view ------------------------------------
+    # one multi-operand sort carries the pairing table [p4 | chi | w]
+    # through the sort network (a permutation gather afterwards is
+    # latency-bound at scale — see deposit_sorted)
     cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
-    order = jnp.argsort(cell_key)
-    sorted_cells = cell_key[order]
+    (sorted_cells, order, eg_s, ux_s, uy_s, uz_s, chi_s, w_s) = lax.sort(
+        (cell_key, jnp.arange(n_e, dtype=jnp.int32), e.gamma,
+         e.u[:, 0], e.u[:, 1], e.u[:, 2], e.chi, e.weight),
+        num_keys=1,
+    )
     # segment [start[c], end[c]) of electrons in cell c
     cells = jnp.arange(geom.n_loc, dtype=jnp.int32)
     seg_start = jnp.searchsorted(sorted_cells, cells, side="left")
@@ -196,13 +202,11 @@ def absorb(sim, species, t, key, axis_index=None):
         active = active & (r_perp <= opt.max_displacement)
 
     k4_ph = jnp.concatenate([ph.gamma[:, None], ph.u], axis=1)
-    # one packed (n_e, 6) electron table [p4 | chi | w], sorted by cell:
-    # the candidate walk then does a single row gather per block (three
-    # separate column gathers fused into the cross-section math make
-    # the TPU backend scalarize the whole computation)
-    e_table = jnp.concatenate(
-        [e.gamma[:, None], e.u, e.chi[:, None], e.weight[:, None]], axis=1
-    )[order]
+    # packed (n_e, 6) electron table [p4 | chi | w] from the sorted
+    # payloads: the candidate walk then does a single row gather per
+    # block (separate column gathers fused into the cross-section math
+    # make the TPU backend scalarize the whole computation)
+    e_table = jnp.stack([eg_s, ux_s, uy_s, uz_s, chi_s, w_s], axis=-1)
     cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
 
     # Candidate walk, block-vectorized: each sequential pass examines a
