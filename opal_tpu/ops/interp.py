@@ -94,12 +94,8 @@ def fields_at(E, B, idx, xi):
             jnp.roll(E, -2, axis=0),  # g+2 (E only)
         ],
         axis=1,
-    ).T  # (21, n): components on the leading axis, cells on lanes
-    rows = table[:, idx]  # ONE gather -> (21, N), each row contiguous
-    Em1, Bm1 = rows[0:3], rows[3:6]
-    E0, B0 = rows[6:9], rows[9:12]
-    Ep1, Bp1 = rows[12:15], rows[15:18]
-    Ep2 = rows[18:21]
+    )  # (n, 21)
+    rows = table[idx]  # ONE row gather -> (N, 21)
 
     # centred weights (half-integer stagger)
     wc_m1 = weight(0.5 + xi)
@@ -111,11 +107,12 @@ def fields_at(E, B, idx, xi):
     we_p1 = weight(1.0 - xi)
     we_p2 = weight(2.0 - xi)
 
-    # one weighted contraction over the 21 gathered rows: multiply by a
-    # (21, N) weight matrix built from 7 broadcast weight vectors and
-    # reduce 21 -> 6 via a reshape-sum — a single pass over the data
-    # (expressing it as 16 scalar dot-products made XLA emit 16
-    # separate full-array passes)
+    # one weighted contraction over the 21 gathered columns: multiply
+    # by an (N, 21) weight matrix built from 7 broadcast weight vectors
+    # and reduce 24 -> (4-group sum) -> (N, 6) in a single pass over
+    # the data (expressing it as 16 scalar dot-products made XLA emit
+    # 16 separate full-array passes; a (21, N) layout forced two big
+    # transposes around the gather)
     zero = jnp.zeros_like(wc_0)
     w21 = jnp.stack(
         [
@@ -123,16 +120,13 @@ def fields_at(E, B, idx, xi):
             wc_0, we_0, we_0, jnp.ones_like(wc_0), wc_0, wc_0,  # g
             wc_p1, we_p1, we_p1, zero, wc_p1, wc_p1,  # g+1
             zero, we_p2, we_p2,  # g+2 (E only)
-        ]
-    )  # (21, N)
+        ],
+        axis=-1,
+    )  # (N, 21)
     weighted = rows * w21
-    # rows order: [E(g-1) B(g-1) E(g) B(g) E(g+1) B(g+1) E(g+2)] with
+    # column order: [E(g-1) B(g-1) E(g) B(g) E(g+1) B(g+1) E(g+2)] with
     # 3 components each -> sum the 6-column groups (pad E(g+2) into a
     # virtual 4th group of zeros for B)
-    padded = jnp.concatenate(
-        [weighted, jnp.zeros((3,) + weighted.shape[1:], weighted.dtype)]
-    )  # (24, N)
-    out = jnp.sum(padded.reshape(4, 6, -1), axis=0)  # (6, N)
-    Ep = out[0:3].T
-    Bp = out[3:6].T
-    return Ep, Bp
+    padded = jnp.pad(weighted, ((0, 0), (0, 3)))  # (N, 24)
+    out = jnp.sum(padded.reshape(-1, 4, 6), axis=1)  # (N, 6)
+    return out[:, 0:3], out[:, 3:6]
