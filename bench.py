@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--no-deposition", dest="deposition", action="store_false")
     parser.add_argument("--no-migration", dest="migration", action="store_false",
                         default=True, help="bench A/B: skip the migration pass")
+    parser.add_argument("--sorted-pipeline", dest="sorted_pipeline",
+                        action="store_true", default=False,
+                        help="bench A/B: cell-sorted pipeline (migrate_sorted "
+                             "+ sort-free deposition)")
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
@@ -89,6 +93,7 @@ def main(argv=None):
         photon_emission=args.qed, photon_absorption=args.qed,
         migration_capacity=max(4096, n_particles // ndev // 64),
         absorption_candidates=64,
+        sorted_pipeline=args.sorted_pipeline,
     )
     espec = SpeciesSpec.electron()
     specs = {"electron": espec}

@@ -139,6 +139,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     migration_capacity = int(tpu_opt("migration_capacity", 16384))
     absorption_candidates = int(tpu_opt("absorption_candidates", 256))
     seed = int(tpu_opt("seed", 0))
+    sorted_pipeline = bool(tpu_opt("sorted_pipeline", 0))
 
     options = SimOptions(
         dt=dt,
@@ -159,6 +160,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         migration_capacity=migration_capacity,
         absorption_candidates=absorption_candidates,
         seed=seed,
+        sorted_pipeline=sorted_pipeline,
     )
 
     if dtype is None:

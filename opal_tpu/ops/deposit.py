@@ -78,7 +78,9 @@ def _cumsum_cols(v):
     return (within + carry[:, None, :]).reshape(-1, k)[:n]
 
 
-def deposit_sorted(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
+def deposit_sorted(
+    J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt, *, presorted=False
+):
     """Deposition via cell-sort + segmented column sums.
 
     TPU-native replacement for the scatter-add formulation: one
@@ -89,6 +91,12 @@ def deposit_sorted(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     TPU while this path is bandwidth-bound.  Summation order differs
     from the scatter path (blocked tree vs index order), so results
     match to floating-point reassociation only.
+
+    With ``presorted=True`` (the sorted particle pipeline,
+    :func:`opal_tpu.parallel.migrate.migrate_sorted`) ``idx`` is
+    already non-decreasing — dead rows carry in-range placeholder
+    cells and zero macrocharge — and the payload sort is skipped
+    entirely.
 
     Same semantics as :func:`deposit` (``src/grid/yee.rs:551-641``),
     including its stencil quirks (see module docstring).
@@ -101,10 +109,15 @@ def deposit_sorted(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     # than at 2M), while sort payloads move with the tiles
     import jax.lax as lax
 
-    idx_s, x_s, px_s, q_s, vy_s, vz_s = lax.sort(
-        (idx, x, prev_x, macrocharge, velocity[:, 1], velocity[:, 2]),
-        num_keys=1,
-    )
+    if presorted:
+        idx_s, x_s, px_s, q_s, vy_s, vz_s = (
+            idx, x, prev_x, macrocharge, velocity[:, 1], velocity[:, 2]
+        )
+    else:
+        idx_s, x_s, px_s, q_s, vy_s, vz_s = lax.sort(
+            (idx, x, prev_x, macrocharge, velocity[:, 1], velocity[:, 2]),
+            num_keys=1,
+        )
     vals, plan = _particle_values(x_s, px_s, q_s, vy_s, vz_s, dx, dt)
 
     cum = _cumsum_cols(vals)

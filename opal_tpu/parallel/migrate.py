@@ -184,6 +184,164 @@ def migrate(
     return state, overflow + ins_overflow
 
 
+_BIG = 2**30
+
+
+def migrate_sorted(
+    state: ParticleState,
+    geom: GridGeometry,
+    axis_name: str,
+    axis_index,
+    send_capacity: int,
+):
+    """Migration fused with the sorted-pipeline maintenance sort.
+
+    One cell-argsort + one row-permutation apply establishes the layout
+
+        [ gap (dead, sized to arrivals-from-left) |
+          left-leavers | interior | right-leavers | dead tail ]
+
+    after which the exchange is pure slicing: leavers ship as contiguous
+    rows over the ``ppermute`` ring, left arrivals land right-aligned in
+    the gap and right arrivals extend into the tail.  The state exits
+    **strictly cell-non-decreasing** with dead rows carrying in-range
+    placeholder cells (0 in the gap, ``n_loc - 1`` in the tail) — the
+    invariant that lets deposition skip its own sort and gives the
+    fused push kernel bounded per-block cell windows.
+
+    Same physics as :func:`migrate` / the reference's sort + splice +
+    ssend/recv exchange (``src/particle/mod.rs:284-375``): leavers with
+    no neighbour (non-periodic global edge) are dropped, capacity
+    overflow is counted, and CFL guarantees one-cell-per-step motion.
+
+    Arrivals that find no room (left: gap exhausted; right: capacity
+    tail exhausted) are dropped and counted as overflow, exactly like
+    send-buffer overflow.  ``cap`` is clamped to ``capacity/4``.
+
+    Returns ``(state, overflow_count)``.
+    """
+    n_loc, ndev = geom.n_loc, geom.n_devices
+    periodic = geom.left_boundary == "periodic"
+    n = state.alive.shape[0]
+    cap = int(min(send_capacity, n // 4))
+
+    alive, cell = state.alive, state.cell
+    go_left = alive & (cell < 0)
+    go_right = alive & (cell >= n_loc)
+    if not periodic:
+        # delete at the global domain edges (mod.rs:309-329)
+        g = axis_index * n_loc + cell
+        out_left = g < geom.interior_start
+        out_right = g >= geom.interior_end
+        deleted = alive & (out_left | out_right)
+        go_left = go_left & ~out_left & ~out_right
+        go_right = go_right & ~out_left & ~out_right
+    else:
+        deleted = jnp.zeros_like(alive)
+
+    n_left = jnp.sum(go_left)
+    n_right = jnp.sum(go_right)
+    nl_c = jnp.minimum(n_left, cap)
+    nr_c = jnp.minimum(n_right, cap)
+
+    perm_to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    perm_to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+    # exchange the leaver COUNTS first (scalar hop): the front gap is
+    # sized to exactly the arrivals-from-left, so every remaining dead
+    # row stays in the tail for arrivals-from-right.  (A fixed-size gap
+    # can strand all slack at the front and drop arrivals while free
+    # slots exist.)  The counts also give the arrival masks, replacing
+    # per-lane validity ppermutes.
+    n_arr_l = lax.ppermute(nr_c, axis_name, perm_to_right)
+    n_arr_r = lax.ppermute(nl_c, axis_name, perm_to_left)
+
+    dead = ~alive | deleted
+    dead_rank = jnp.cumsum(dead.astype(jnp.int32))
+    front_gap = dead & (dead_rank <= n_arr_l)
+    skey = jnp.where(
+        front_gap, -_BIG, jnp.where(dead, _BIG, cell)
+    ).astype(jnp.int32)
+    perm = jnp.argsort(skey)
+
+    n_gap = jnp.sum(front_gap)
+    n_live = jnp.sum(alive & ~deleted)  # leavers still count as live
+
+    # pack with dead rows pre-fixed: alive cleared for deletions, tail
+    # placeholder cell so the sorted cell column is non-decreasing
+    fixed = dataclasses.replace(
+        state,
+        cell=jnp.where(dead, n_loc - 1, cell).astype(cell.dtype),
+        alive=alive & ~deleted,
+    )
+    fdtype = state.x.dtype
+    packed = pack_state(fixed, fdtype)[perm]  # ONE (n, K) row gather
+    K = packed.shape[1]
+    cell_col = _column_index(state, "cell")
+    alive_col = _column_index(state, "alive")
+
+    lane = jnp.arange(cap)
+    ll_start = n_gap
+    rl_start = n_gap + n_live - nr_c
+
+    send_left = lax.dynamic_slice_in_dim(packed, ll_start, cap)
+    send_left = send_left.at[:, cell_col].add(n_loc)  # reindex (mod.rs:291)
+    # rl_start + cap may exceed n; a dynamic_slice would clamp the read
+    # start and ship live interior rows, so gather with fill instead
+    # (valid leaver rows rl_start..rl_start+nr_c are always in range)
+    send_right = jnp.take(
+        packed, rl_start + lane, axis=0, mode="fill", fill_value=0.0
+    )
+    send_right = send_right.at[:, cell_col].add(-n_loc)
+    overflow = jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
+
+    from_right = lax.ppermute(send_left, axis_name, perm_to_left)
+    from_left = lax.ppermute(send_right, axis_name, perm_to_right)
+    fl_valid = lane < n_arr_l
+    fr_valid = lane < n_arr_r
+
+    # mark leaver rows dead with sorted-compatible placeholder cells
+    riota = jnp.arange(n)
+    m_gap = riota < n_gap
+    m_ll = (riota >= ll_start) & (riota < ll_start + n_left)
+    # ALL right-leavers go dead (unsent ones are dropped as overflow);
+    # leaving them alive would keep cells >= n_loc in the live region
+    m_rl = (riota >= n_gap + n_live - n_right) & (riota < n_gap + n_live)
+    packed = packed.at[:, alive_col].set(
+        jnp.where(m_ll | m_rl, 0.0, packed[:, alive_col])
+    )
+    packed = packed.at[:, cell_col].set(
+        jnp.where(
+            m_gap | m_ll, 0.0,
+            jnp.where(m_rl, float(n_loc - 1), packed[:, cell_col]),
+        )
+    )
+
+    # left arrivals: right-aligned into the gap (cells are exactly 0,
+    # so gap(0) <= arrivals(0) <= interior stays non-decreasing)
+    na = jnp.minimum(n_arr_l, n_gap)
+    start_l = n_gap - na
+    ex = lax.dynamic_slice_in_dim(packed, start_l, cap)
+    block = jnp.where((fl_valid & (lane < na))[:, None], from_left, ex)
+    packed = lax.dynamic_update_slice_in_dim(packed, block, start_l, 0)
+    overflow = overflow + (n_arr_l - na)
+
+    # right arrivals: overwrite the right-leaver slots and extend into
+    # the dead tail (cells are exactly n_loc - 1; tail placeholder
+    # matches, so order is preserved).  Masked scatter, NOT a
+    # dynamic_update_slice: rl_start + cap may exceed n and XLA would
+    # clamp the start, shifting the block onto live rows.  Arrivals
+    # past the end of the buffer are dropped and counted.
+    idx_r = rl_start + lane
+    fit = fr_valid & (idx_r < n)
+    overflow = overflow + (n_arr_r - jnp.sum(fit))
+    rows = jnp.where(fit, idx_r, n)
+    packed = packed.at[rows].set(
+        jnp.where(fit[:, None], from_right, 0.0), mode="drop"
+    )
+
+    return unpack_state(packed, state), overflow
+
+
 def insert(state: ParticleState, buf: ParticleState, valid):
     """Scatter ``valid`` buffer entries into dead slots of ``state``.
 

@@ -1,0 +1,174 @@
+"""Sorted-pipeline migration: invariants and parity with the classic
+exchange (reference semantics: ``src/particle/mod.rs:284-375``)."""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from opal_tpu.grid import GridGeometry
+from opal_tpu.parallel.migrate import migrate, migrate_sorted
+from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
+
+
+def _random_state(geom, cap_per_dev, n_alive_per_dev, seed, spill=True):
+    """Host state with alive particles in random slots/cells, a few of
+    which have just left their subdomain (cell -1 or n_loc)."""
+    rng = np.random.default_rng(seed)
+    ndev = geom.n_devices
+    f = _empty_fields(SpeciesSpec.electron(), ndev * cap_per_dev, np.float64)
+    for d in range(ndev):
+        slots = d * cap_per_dev + rng.choice(
+            cap_per_dev, n_alive_per_dev, replace=False
+        )
+        cells = rng.integers(0, geom.n_loc, n_alive_per_dev)
+        if spill:
+            k = max(1, n_alive_per_dev // 8)
+            cells[:k] = -1
+            cells[k : 2 * k] = geom.n_loc
+        f["alive"][slots] = True
+        f["cell"][slots] = cells
+        f["x"][slots] = rng.random(n_alive_per_dev)
+        f["prev_x"][slots] = rng.random(n_alive_per_dev)
+        f["weight"][slots] = 1.0 + rng.random(n_alive_per_dev)
+        f["u"][slots] = rng.normal(size=(n_alive_per_dev, 3))
+        f["gamma"][slots] = np.sqrt(1.0 + np.sum(f["u"][slots] ** 2, axis=1))
+        f["tau"][slots] = rng.exponential(size=n_alive_per_dev)
+        f["work"][slots] = rng.normal(size=n_alive_per_dev)
+    return ParticleState(**{k: (None if v is None else jnp.asarray(v)) for k, v in f.items()})
+
+
+def _run(fn, state, geom, cap):
+    from opal_tpu.fields import make_mesh
+
+    mesh = make_mesh(geom.n_devices)
+    specs = jax.tree_util.tree_map(
+        lambda a: P("x", *([None] * (a.ndim - 1))), state
+    )
+
+    def device_fn(st):
+        ai = jax.lax.axis_index("x")
+        out, ovf = fn(st, geom, "x", ai, cap)
+        return out, jax.lax.psum(ovf, "x")
+
+    return jax.jit(
+        jax.shard_map(
+            device_fn, mesh=mesh, in_specs=(specs,),
+            out_specs=(specs, P()), check_vma=False,
+        )
+    )(state)
+
+
+def _alive_multiset(state, geom, ndev, cap_per_dev):
+    """(global_cell, weight, ux) triples of alive particles, sorted —
+    an order-independent fingerprint of the physical content."""
+    al = np.asarray(state.alive)
+    dev = np.arange(al.shape[0]) // cap_per_dev
+    g = dev * geom.n_loc + np.asarray(state.cell)
+    rows = np.stack(
+        [g[al], np.asarray(state.weight)[al], np.asarray(state.u)[al, 0],
+         np.asarray(state.x)[al], np.asarray(state.work)[al]], axis=1
+    )
+    return rows[np.lexsort(rows.T[::-1])]
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sorted_matches_classic_content(ndev):
+    geom = GridGeometry(nx=8 * ndev * 4 // ndev * ndev, dx=1.0, xmin=0.0,
+                        n_devices=ndev)
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _random_state(geom, cap, 96, seed=3)
+
+    out_s, ovf_s = _run(migrate_sorted, state, geom, 64)
+    out_c, ovf_c = _run(migrate, state, geom, 64)
+
+    assert int(ovf_s) == 0 and int(ovf_c) == 0
+    a = _alive_multiset(out_s, geom, ndev, cap)
+    b = _alive_multiset(out_c, geom, ndev, cap)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_sorted_invariants(ndev):
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _random_state(geom, cap, 100, seed=11)
+    out, ovf = _run(migrate_sorted, state, geom, 64)
+    assert int(ovf) == 0
+
+    cells = np.asarray(out.cell).reshape(ndev, cap)
+    alive = np.asarray(out.alive).reshape(ndev, cap)
+    for d in range(ndev):
+        # the WHOLE cell column (live placeholder included) is
+        # non-decreasing — the sort-free deposition invariant
+        assert np.all(np.diff(cells[d]) >= 0), d
+        # every cell (alive or placeholder) lies in [0, n_loc)
+        assert cells[d].min() >= 0 and cells[d].max() < geom.n_loc
+        # no alive particle remains out of domain
+        assert np.all(cells[d][alive[d]] >= 0)
+        assert np.all(cells[d][alive[d]] < geom.n_loc)
+
+
+def test_sorted_tight_capacity():
+    """High fill fraction: rl_start + cap exceeds the buffer length, so
+    the right-arrival write must be a bounded scatter (a clamped
+    dynamic_update_slice would shift the block onto live rows)."""
+    ndev = 4
+    geom = GridGeometry(nx=24 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 384
+    state = _random_state(geom, cap, 300, seed=7)
+    n0 = int(jnp.sum(state.alive))
+
+    out_s, ovf_s = _run(migrate_sorted, state, geom, 96)
+    out_c, ovf_c = _run(migrate, state, geom, 96)
+
+    assert int(jnp.sum(out_s.alive)) + int(ovf_s) == n0
+    assert int(ovf_s) == 0 and int(ovf_c) == 0
+    a = _alive_multiset(out_s, geom, ndev, cap)
+    b = _alive_multiset(out_c, geom, ndev, cap)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+    cells = np.asarray(out_s.cell).reshape(ndev, cap)
+    for d in range(ndev):
+        assert np.all(np.diff(cells[d]) >= 0), d
+        assert cells[d].min() >= 0 and cells[d].max() < geom.n_loc
+
+
+def test_sorted_arrival_with_no_left_flux():
+    """Regression: a device with NO arrivals-from-left must keep its
+    dead rows in the tail so arrivals-from-right can land.  (A
+    fixed-size front gap consumed every dead row and dropped the
+    arrival as 'overflow' while free slots existed.)"""
+    ndev = 2
+    geom = GridGeometry(nx=16 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 64
+    state = _random_state(geom, cap, 60, seed=2, spill=False)
+    # device 1: one left-leaver -> arrives at device 0 from the right
+    cells_h = np.array(state.cell)
+    leaver = cap + np.flatnonzero(np.asarray(state.alive)[cap:])[0]
+    cells_h[leaver] = -1
+    state = dataclasses.replace(state, cell=jnp.asarray(cells_h))
+    n0 = int(jnp.sum(state.alive))
+
+    out, ovf = _run(migrate_sorted, state, geom, 16)
+    assert int(ovf) == 0
+    assert int(jnp.sum(out.alive)) == n0
+    cells = np.asarray(out.cell).reshape(ndev, cap)
+    for d in range(ndev):
+        assert np.all(np.diff(cells[d]) >= 0), d
+        assert cells[d].min() >= 0 and cells[d].max() < geom.n_loc
+
+
+def test_sorted_preserves_particle_count_periodic():
+    ndev = 4
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _random_state(geom, cap, 100, seed=5)
+    n0 = int(jnp.sum(state.alive))
+    out, ovf = _run(migrate_sorted, state, geom, 64)
+    assert int(jnp.sum(out.alive)) + int(ovf) == n0

@@ -16,11 +16,13 @@ from opal_tpu.species import SpeciesSpec, initialize
 C = const.SPEED_OF_LIGHT
 
 
-def _drifting_setup(ndev, nx=64, npc=4, ux=2.0, deposition=False):
+def _drifting_setup(ndev, nx=64, npc=4, ux=2.0, deposition=False, **kw):
     dx = 1.0e-6
     dt = 0.95 * dx / C
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
-    opts = SimOptions(dt=dt, current_deposition=deposition, migration_capacity=512)
+    opts = SimOptions(
+        dt=dt, current_deposition=deposition, migration_capacity=512, **kw
+    )
     spec = SpeciesSpec.electron()
     sim = Simulation(geom, opts, {"electron": spec})
     state = initialize(
@@ -34,12 +36,16 @@ def _drifting_setup(ndev, nx=64, npc=4, ux=2.0, deposition=False):
     return sim, geom, opts, sim.shard_particles(state)
 
 
+@pytest.mark.parametrize("sorted_pipeline", [False, True])
 @pytest.mark.parametrize("ndev", [1, 2, 8])
-def test_streaming_conserves_particles_and_energy(ndev):
+def test_streaming_conserves_particles_and_energy(ndev, sorted_pipeline):
     """Force-free drift in a periodic box: particle count and kinetic
     energy are exactly conserved while particles migrate across every
-    device boundary."""
-    sim, geom, opts, state = _drifting_setup(ndev)
+    device boundary — with either migration pipeline (classic or
+    cell-sorted)."""
+    sim, geom, opts, state = _drifting_setup(
+        ndev, sorted_pipeline=sorted_pipeline
+    )
     E, B, J, rho = sim.init_fields()
     counters = sim.zero_counters()
     key = jax.random.key(0)
@@ -60,6 +66,37 @@ def test_streaming_conserves_particles_and_energy(ndev):
     # all particles still inside the local domain
     cells = np.asarray(st.cell)[np.asarray(st.alive)]
     assert cells.min() >= 0 and cells.max() < geom.n_loc
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_pipelines_equivalent_with_deposition(ndev):
+    """Classic and cell-sorted pipelines run the same physics: with
+    deposition on (self-consistent fields, presorted deposition path),
+    fields and per-species energies agree to float-reassociation
+    level after many steps and migrations."""
+    results = {}
+    for sp in (False, True):
+        sim, geom, opts, state = _drifting_setup(
+            ndev, deposition=True, sorted_pipeline=sp
+        )
+        E, B, J, rho = sim.init_fields()
+        counters = sim.zero_counters()
+        key = jax.random.key(0)
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, {"electron": state}, 0.0, key, counters, 120
+        )
+        st = species["electron"]
+        assert int(counters["electron"]) == 0
+        results[sp] = (
+            np.asarray(E), np.asarray(B), np.asarray(J), np.asarray(rho),
+            float(sim.total_kinetic_energy("electron", st)),
+            int(jnp.sum(st.alive)),
+        )
+    a, b = results[False], results[True]
+    assert a[5] == b[5]  # particle count
+    for x, y in zip(a[:4], b[:4]):
+        np.testing.assert_allclose(x, y, rtol=1e-9, atol=1e-30)
+    assert a[4] == pytest.approx(b[4], rel=1e-9)
 
 
 @pytest.mark.parametrize("ndev", [1, 4])
