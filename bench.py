@@ -45,6 +45,11 @@ def main(argv=None):
                         action="store_true", default=False,
                         help="bench A/B: cell-sorted pipeline (migrate_sorted "
                              "+ sort-free deposition)")
+    parser.add_argument("--fused", action="store_true",
+                        help="fused Pallas gather+push+deposit kernel "
+                             "(implies --sorted-pipeline)")
+    parser.add_argument("--fused-window", type=int, default=16)
+    parser.add_argument("--fused-block", type=int, default=2048)
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
@@ -93,7 +98,10 @@ def main(argv=None):
         photon_emission=args.qed, photon_absorption=args.qed,
         migration_capacity=max(4096, n_particles // ndev // 64),
         absorption_candidates=64,
-        sorted_pipeline=args.sorted_pipeline,
+        sorted_pipeline=args.sorted_pipeline or args.fused,
+        fused_pusher=args.fused,
+        fused_window=args.fused_window,
+        fused_block=args.fused_block,
     )
     espec = SpeciesSpec.electron()
     specs = {"electron": espec}
@@ -106,6 +114,8 @@ def main(argv=None):
 
     drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
     cap = int(n_particles // ndev * 1.25)
+    if args.fused:  # fused kernel needs capacity % block == 0
+        cap = -(-cap // args.fused_block) * args.fused_block
     # particles are generated on their owning devices: nothing big
     # crosses host->device (matters on remote-attached TPUs)
     if args.qed:

@@ -140,6 +140,23 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     absorption_candidates = int(tpu_opt("absorption_candidates", 256))
     seed = int(tpu_opt("seed", 0))
     sorted_pipeline = bool(tpu_opt("sorted_pipeline", 0))
+    fused_pusher = bool(tpu_opt("fused_pusher", 0))
+    fused_block = int(tpu_opt("fused_block", 2048))
+    # window auto-sizing: cover the cells a sorted block spans plus the
+    # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
+    try:
+        epc_for_w = max(1, int(input_cfg.read_usize("electrons", "npc")))
+    except ConfigError:
+        epc_for_w = 1
+    auto_w = _round_up(fused_block // epc_for_w + 16, 8)
+    fused_window = int(tpu_opt("fused_window", min(512, max(16, auto_w))))
+    # the window read must fit the per-device field table; shrinking it
+    # below the block span only costs misfit-fallback work, not
+    # correctness
+    from .grid import HALO
+    from .ops.fused import PAD
+    w_max = (geom.n_loc + 2 * HALO + 2 * PAD - 8) // 8 * 8
+    fused_window = max(8, min(fused_window, w_max))
 
     options = SimOptions(
         dt=dt,
@@ -160,7 +177,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         migration_capacity=migration_capacity,
         absorption_candidates=absorption_candidates,
         seed=seed,
-        sorted_pipeline=sorted_pipeline,
+        sorted_pipeline=sorted_pipeline or fused_pusher,
+        fused_pusher=fused_pusher,
+        fused_block=fused_block,
+        fused_window=fused_window,
     )
 
     if dtype is None:
@@ -193,6 +213,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, epc, ne) * capacity_factor))
+        if fused_pusher:  # fused kernel needs capacity % block == 0
+            cap = _round_up(cap, fused_block)
         states["electron"] = initialize(
             especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed, dtype=np_dtype
         )

@@ -89,10 +89,14 @@ def vay_push(
         / const.CRITICAL_FIELD
     )
 
+    # cast: the rate's f64 lookup tables must not promote f32 state
+    # (breaks the scan carry dtype when x64 is enabled)
     if classical_rates:
-        tau = tau - emission.classical_rate(chi, gamma_half) * dt
+        tau = (tau - emission.classical_rate(chi, gamma_half) * dt).astype(
+            tau.dtype
+        )
     else:
-        tau = tau - emission.rate(chi, gamma_half) * dt
+        tau = (tau - emission.rate(chi, gamma_half) * dt).astype(tau.dtype)
 
     # u' = u_i + (q dt / 2 m c) E
     u_prime = u_half + alpha * E

@@ -261,7 +261,6 @@ def migrate_sorted(
     skey = jnp.where(
         front_gap, -_BIG, jnp.where(dead, _BIG, cell)
     ).astype(jnp.int32)
-    perm = jnp.argsort(skey)
 
     n_gap = jnp.sum(front_gap)
     n_live = jnp.sum(alive & ~deleted)  # leavers still count as live
@@ -274,8 +273,16 @@ def migrate_sorted(
         alive=alive & ~deleted,
     )
     fdtype = state.x.dtype
-    packed = pack_state(fixed, fdtype)[perm]  # ONE (n, K) row gather
+    packed = pack_state(fixed, fdtype)
     K = packed.shape[1]
+    # multi-operand payload sort, NOT argsort + row gather: payloads
+    # ride the sort network with tiled access, while applying a random
+    # permutation afterwards is a latency-bound gather (measured 36 vs
+    # 97 ms at 2.6M x 14 columns on v5e)
+    sorted_cols = lax.sort(
+        (skey, *(packed[:, i] for i in range(K))), num_keys=1
+    )
+    packed = jnp.stack(sorted_cols[1:], axis=1)
     cell_col = _column_index(state, "cell")
     alive_col = _column_index(state, "alive")
 

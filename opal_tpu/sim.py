@@ -101,6 +101,17 @@ class SimOptions:
     # 2.1M particles).  It becomes profitable only once a fused
     # gather+push+deposit kernel exploits the bounded cell windows.
     sorted_pipeline: bool = False
+    # fused Pallas gather+push+deposit kernel (ops/fused.py) for
+    # electron-kind species.  Requires the sorted pipeline (bounded
+    # per-block cell windows), f32 state, and per-device capacity a
+    # multiple of fused_block; silently falls back to the unfused ops
+    # otherwise.  Alive particles outside their block window (region
+    # edges, fresh arrivals) are handled by a compacted fallback pass
+    # of the unfused ops, sized by fused_misfit_capacity.
+    fused_pusher: bool = False
+    fused_block: int = 2048
+    fused_window: int = 32
+    fused_misfit_capacity: int = 4096
 
 
 class Simulation:
@@ -203,6 +214,102 @@ class Simulation:
             or self.options.extra_stimulated_emission_output
         )
 
+    def _fused_applicable(self, name, st) -> bool:
+        """Trace-time check that the fused Pallas kernel can serve this
+        species (see SimOptions.fused_pusher)."""
+        from .ops import fused as F
+
+        opt, geom = self.options, self.geom
+        n_rows = geom.n_loc + 2 * HALO + 2 * F.PAD
+        return (
+            opt.fused_pusher
+            and opt.sorted_pipeline
+            and opt.migration
+            and opt.current_deposition
+            and self.specs[name].kind == "electron"
+            and st.x.dtype == jnp.float32
+            and st.x.shape[0] % opt.fused_block == 0
+            and n_rows * 96 <= 8 * 2**20  # EB + out slabs in VMEM
+            # window read/write (base-2 .. base+W+2) must fit the table
+            and opt.fused_window + 4 <= n_rows
+        )
+
+    def _fused_push_deposit(self, name, st, E_slab, B_slab):
+        """Fused gather+push+deposit (ops/fused.py) plus the compacted
+        unfused fallback for alive rows outside their block window.
+
+        Depositing before migration is equivalent to the reference's
+        post-migration deposit: a one-cell leaver deposits into halo
+        rows, and fold_currents adds them to the neighbour exactly as
+        the reference's overlay of ghost currents (yee.rs:97-113).
+
+        Returns (state, J_add, rho_add, misfit_overflow)."""
+        from .ops import fused as F
+
+        opt, geom = self.options, self.geom
+        spec = self.specs[name]
+        n_slab = geom.n_loc + 2 * HALO
+        fspec = F.FusedSpec(
+            block=opt.fused_block, window=opt.fused_window,
+            n_rows=n_slab + 2 * F.PAD, dx=geom.dx, dt=opt.dt,
+            charge=spec.charge, mass=spec.mass,
+            emission=opt.photon_emission,
+            classical=not opt.radiation_reaction,
+        )
+        eb = F.make_eb_rows(E_slab, B_slab)
+        macro = jnp.where(st.alive, st.weight * spec.charge, 0.0).astype(
+            jnp.float32
+        )
+        rows = st.cell + HALO + F.PAD
+        anchors = F.block_anchors(fspec, rows, 0)
+        cols, miss, out_slab = F.fused_push_deposit(
+            fspec, anchors, rows, st.x, st.y, st.z,
+            st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
+            st.work, st.tau, eb,
+            interpret=jax.default_backend() == "cpu",
+        )
+        J_add, rho_add = F.fold_out_slab(out_slab)
+
+        # fallback: compact misfits, run the unfused ops, scatter back
+        mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
+        tk = lambda a, fill: jnp.take(
+            a, mtab, axis=0, mode="fill", fill_value=fill
+        )
+        m_cell = tk(st.cell, 0)
+        m_x = tk(st.x, 0.0)
+        m_u = tk(st.u, 0.0)
+        m_q = tk(macro, 0.0)
+        Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
+        res = vay_push(
+            m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
+            tk(st.gamma, 1.0), tk(st.tau, jnp.inf), tk(st.work, 0.0),
+            Ep, Bp, geom.dx, opt.dt,
+            classical_rates=not opt.radiation_reaction,
+        )
+        vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
+        J_add, rho_add = deposit(
+            J_add, rho_add, res.cell + HALO, res.x, res.prev_x, m_q, vel,
+            geom.dx, opt.dt,
+        )
+        sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
+        st = dataclasses.replace(
+            st,
+            cell=sc((cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
+                    res.cell),
+            x=sc(cols["x"], res.x),
+            prev_x=sc(cols["prev_x"], res.prev_x),
+            y=sc(cols["y"], res.y),
+            z=sc(cols["z"], res.z),
+            u=jnp.stack(
+                [cols["ux"], cols["uy"], cols["uz"]], axis=1
+            ).at[mtab].set(res.u, mode="drop"),
+            gamma=sc(cols["gamma"], res.gamma),
+            chi=sc(cols["chi"], res.chi),
+            tau=sc(cols["tau"], res.tau),
+            work=sc(cols["work"], res.work),
+        )
+        return st, J_add, rho_add, movf
+
     def _device_step(self, carry, key, ai):
         geom, opt = self.geom, self.options
         E, B, _J_prev, _rho_prev, species, t, counters, events = carry
@@ -212,8 +319,20 @@ class Simulation:
         # 1-2: push + migrate, species by species (reference order:
         # electrons, ions, photons — main.rs:240-244)
         mig = migrate_sorted if opt.sorted_pipeline else migrate
+        fused_dep = {}
         for name in self.specs:
-            st = self._push_species(name, species[name], E_slab, B_slab, t)
+            if self._fused_applicable(name, species[name]):
+                st, J_add, rho_add, movf = self._fused_push_deposit(
+                    name, species[name], E_slab, B_slab
+                )
+                fused_dep[name] = (J_add, rho_add)
+                counters = {
+                    **counters, name: counters[name] + halo.psum(movf, "x")
+                }
+            else:
+                st = self._push_species(
+                    name, species[name], E_slab, B_slab, t
+                )
             if opt.migration:
                 st, ovf = mig(st, geom, "x", ai, opt.migration_capacity)
                 counters = {
@@ -259,6 +378,9 @@ class Simulation:
         J_slab = jnp.zeros((n_slab, 3), E.dtype)
         rho_slab = jnp.zeros((n_slab,), E.dtype)
         if opt.current_deposition:
+            for name, (J_add, rho_add) in fused_dep.items():
+                J_slab = J_slab + J_add.astype(E.dtype)
+                rho_slab = rho_slab + rho_add.astype(E.dtype)
             # the sorted pipeline leaves each species cell-sorted after
             # migration (dead rows hold in-range placeholder cells), so
             # the deposition payload sort is skipped entirely
@@ -268,7 +390,7 @@ class Simulation:
                 and opt.deposit_method == "sorted"
             )
             for name, spec in self.specs.items():
-                if spec.charge == 0.0:
+                if spec.charge == 0.0 or name in fused_dep:
                     continue
                 st = species[name]
                 macrocharge = jnp.where(st.alive, st.weight * spec.charge, 0.0)

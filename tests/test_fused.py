@@ -1,0 +1,171 @@
+"""Fused gather+push+deposit kernel vs the unfused XLA ops.
+
+Runs the Pallas kernel in interpreter mode on the CPU backend and
+checks f32-level parity against fields_at + vay_push + deposit_sorted
+(reference semantics: yee.rs:499-529, electron.rs:268-330,
+yee.rs:551-641)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opal_tpu import constants as const
+from opal_tpu.ops import fused
+from opal_tpu.ops.deposit import deposit_sorted
+from opal_tpu.ops.interp import fields_at
+from opal_tpu.ops.pusher import vay_push
+from opal_tpu.qed import emission
+
+F32 = jnp.float32
+C = const.SPEED_OF_LIGHT
+HALO = 4
+
+
+def _setup(n=4 * 2048, nx=256, seed=0, emission_on=False, strays=0):
+    rng = np.random.default_rng(seed)
+    dx = 500.0
+    dt = 0.95 * dx / C
+    spec = fused.FusedSpec(
+        block=2048, window=128, n_rows=nx + 2 * HALO + 2 * fused.PAD,
+        dx=dx, dt=dt, charge=const.ELECTRON_CHARGE,
+        mass=const.ELECTRON_MASS, emission=emission_on, classical=False,
+    )
+    cells = np.sort(rng.integers(0, nx, n)).astype(np.int32)
+    x = rng.random(n, dtype=np.float32)
+    u = 0.5 * rng.standard_normal((n, 3)).astype(np.float32)
+    u[:, 0] += 0.01
+    g = np.sqrt(1.0 + np.sum(u * u, axis=1)).astype(np.float32)
+    q = np.full(n, 20.0 * dx / 8 * const.ELECTRON_CHARGE, np.float32)
+    q[rng.random(n) < 0.05] = 0.0  # dead rows
+    stray_rows = rng.choice(n, strays, replace=False) if strays else []
+    for r in stray_rows:
+        cells[r] = (cells[r] + nx // 2) % nx  # break the sort locally
+    work = np.zeros(n, np.float32)
+    tau = rng.exponential(size=n).astype(np.float32) * 10.0
+    E = (2e3 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
+    B = (1e-5 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
+    return spec, cells, x, u, g, q, work, tau, E, B, dx, dt, stray_rows
+
+
+def _run_fused(spec, cells, x, u, g, q, work, tau, E, B):
+    eb = fused.make_eb_rows(jnp.asarray(E), jnp.asarray(B))
+    idx_rows = jnp.asarray(cells) + HALO + fused.PAD
+    anchors = fused.block_anchors(spec, jnp.asarray(cells), HALO + fused.PAD)
+    zero = jnp.zeros_like(jnp.asarray(x))
+    return fused.fused_push_deposit(
+        spec, anchors, idx_rows, jnp.asarray(x), zero, zero,
+        jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]), jnp.asarray(u[:, 2]),
+        jnp.asarray(g), jnp.asarray(q), jnp.asarray(work), jnp.asarray(tau),
+        eb, interpret=True,
+    )
+
+
+def _run_unfused(spec, cells, x, u, g, q, work, tau, E, B, emission_on):
+    Ep, Bp = fields_at(jnp.asarray(E), jnp.asarray(B),
+                       jnp.asarray(cells) + HALO, jnp.asarray(x))
+    res = vay_push(
+        jnp.asarray(cells), jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)),
+        jnp.zeros_like(jnp.asarray(x)), jnp.asarray(u), jnp.asarray(g),
+        jnp.asarray(tau) if emission_on else jnp.full(x.shape, jnp.inf, F32),
+        jnp.asarray(work), Ep, Bp, spec.dx, spec.dt,
+    )
+    vel = C * res.u / res.gamma[:, None]
+    n_slab = E.shape[0]
+    J, rho = deposit_sorted(
+        jnp.zeros((n_slab, 3), F32), jnp.zeros((n_slab,), F32),
+        res.cell + HALO, res.x, res.prev_x, jnp.asarray(q), vel,
+        spec.dx, spec.dt,
+    )
+    return res, J, rho
+
+
+def _assert_close(a, b, rtol, name):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(np.max(np.abs(b)), 1e-30)
+    np.testing.assert_allclose(a, b, atol=rtol * scale, rtol=0, err_msg=name)
+
+
+@pytest.mark.parametrize("emission_on", [False, True])
+def test_fused_matches_unfused(emission_on):
+    spec, cells, x, u, g, q, work, tau, E, B, dx, dt, _ = _setup(
+        emission_on=emission_on
+    )
+    cols, miss, out_slab = _run_fused(spec, cells, x, u, g, q, work, tau, E, B)
+    res, Jref, rref = _run_unfused(
+        spec, cells, x, u, g, q, work, tau, E, B, emission_on
+    )
+    assert float(jnp.sum(miss)) == 0.0
+
+    live = q != 0.0
+    for name, a, b, tol in [
+        ("cell", np.asarray(cols["cell"])[live] - HALO - fused.PAD,
+         np.asarray(res.cell)[live], 0.0),
+        ("x", np.asarray(cols["x"])[live], np.asarray(res.x)[live], 3e-5),
+        ("prev_x", np.asarray(cols["prev_x"])[live],
+         np.asarray(res.prev_x)[live], 3e-5),
+        ("ux", np.asarray(cols["ux"])[live], np.asarray(res.u)[live, 0], 3e-5),
+        ("uy", np.asarray(cols["uy"])[live], np.asarray(res.u)[live, 1], 3e-5),
+        ("uz", np.asarray(cols["uz"])[live], np.asarray(res.u)[live, 2], 3e-5),
+        ("gamma", np.asarray(cols["gamma"])[live],
+         np.asarray(res.gamma)[live], 3e-5),
+        ("y", np.asarray(cols["y"])[live], np.asarray(res.y)[live], 3e-5),
+        ("z", np.asarray(cols["z"])[live], np.asarray(res.z)[live], 3e-5),
+        ("work", np.asarray(cols["work"])[live],
+         np.asarray(res.work)[live], 1e-4),
+        ("chi", np.asarray(cols["chi"])[live],
+         np.asarray(res.chi)[live], 1e-4),
+    ]:
+        if tol == 0.0:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            _assert_close(a, b, tol, name)
+    if emission_on:
+        _assert_close(np.asarray(cols["tau"])[live],
+                      np.asarray(res.tau)[live], 1e-4, "tau")
+
+    J, rho = fused.fold_out_slab(out_slab)
+    _assert_close(J, Jref, 5e-4, "J")
+    _assert_close(rho, rref, 5e-4, "rho")
+
+
+def test_fused_misfits_flagged_and_untouched():
+    spec, cells, x, u, g, q, work, tau, E, B, dx, dt, strays = _setup(
+        strays=40, seed=3
+    )
+    # only count strays that are alive and actually left their window
+    cols, miss, out_slab = _run_fused(spec, cells, x, u, g, q, work, tau, E, B)
+    miss = np.asarray(miss) > 0.5
+    assert miss.sum() > 0
+    assert set(np.flatnonzero(miss)) <= set(strays)
+    # misfit rows keep their original state (cell col includes offsets)
+    np.testing.assert_array_equal(
+        np.asarray(cols["cell"])[miss], (cells + HALO + fused.PAD)[miss]
+    )
+    np.testing.assert_array_equal(np.asarray(cols["x"])[miss], x[miss])
+    np.testing.assert_array_equal(np.asarray(cols["ux"])[miss], u[miss, 0])
+
+    # misfit_compact returns exactly the flagged rows
+    table, overflow = fused.misfit_compact(jnp.asarray(miss, F32), 64)
+    got = set(int(i) for i in np.asarray(table) if i < len(cells))
+    assert got == set(np.flatnonzero(miss))
+    assert int(overflow) == 0
+
+
+def test_emission_rate_kernel_variant_matches():
+    chi = jnp.asarray(
+        np.concatenate([
+            np.zeros(4), 10 ** np.linspace(-3, 2.5, 200),
+        ]).astype(np.float32)
+    )
+    gamma = jnp.full_like(chi, 1000.0)
+    a = fused._emission_rate(chi, gamma, False)
+    b = emission.rate(chi.astype(jnp.float64), gamma.astype(jnp.float64))
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-20
+    )
+    a = fused._emission_rate(chi, gamma, True)
+    b = emission.classical_rate(
+        chi.astype(jnp.float64), gamma.astype(jnp.float64)
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

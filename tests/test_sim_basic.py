@@ -99,6 +99,56 @@ def test_pipelines_equivalent_with_deposition(ndev):
     assert a[4] == pytest.approx(b[4], rel=1e-9)
 
 
+@pytest.mark.parametrize("ndev", [1, 2])
+def test_fused_pusher_equivalent(ndev):
+    """The fused Pallas gather+push+deposit kernel (interpret mode on
+    CPU) runs the same physics as the unfused sorted pipeline in f32:
+    fields and energies agree to f32 reassociation level, and no
+    particles are lost."""
+    dx = 1.0e-6
+    dt = 0.95 * dx / C
+    nx, npc = 32 * ndev, 64
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    results = {}
+    for fp in (False, True):
+        opts = SimOptions(
+            dt=dt, current_deposition=True, migration_capacity=512,
+            sorted_pipeline=True, fused_pusher=fp, fused_block=256,
+            fused_window=24, fused_misfit_capacity=512,
+        )
+        spec = SpeciesSpec.electron()
+        sim = Simulation(geom, opts, {"electron": spec}, dtype=jnp.float32)
+        state = initialize(
+            spec, geom, npc,
+            density=lambda x: np.full_like(x, 1.0e6),
+            ux=lambda x, u, n: np.full_like(x, 2.0) * np.sign(u - 0.5),
+            uy=lambda x, u, n: 0.1 * n,
+            uz=lambda x, u, n: np.zeros_like(x),
+            dt=dt, capacity_per_device=2 * nx * npc // ndev, seed=7,
+            dtype=np.float32,
+        )
+        state = sim.shard_particles(state)
+        E, B, J, rho = sim.init_fields()
+        counters = sim.zero_counters()
+        key = jax.random.key(0)
+        n0 = int(jnp.sum(state.alive))
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, {"electron": state}, 0.0, key, counters, 60
+        )
+        st = species["electron"]
+        assert int(jnp.sum(st.alive)) == n0
+        assert int(counters["electron"]) == 0
+        results[fp] = (
+            np.asarray(E), np.asarray(B), np.asarray(J),
+            float(sim.total_kinetic_energy("electron", st)),
+        )
+    a, b = results[False], results[True]
+    for x, y in zip(a[:3], b[:3]):
+        scale = max(np.max(np.abs(x)), 1e-30)
+        np.testing.assert_allclose(y, x, atol=5e-4 * scale, rtol=0)
+    assert b[3] == pytest.approx(a[3], rel=1e-5)
+
+
 @pytest.mark.parametrize("ndev", [1, 4])
 def test_single_particle_trajectory_across_devices(ndev):
     """A single particle's global position must follow x(t) = x0 + v t
