@@ -48,8 +48,15 @@ def main(argv=None):
     parser.add_argument("--fused", action="store_true",
                         help="fused Pallas gather+push+deposit kernel "
                              "(implies --sorted-pipeline)")
-    parser.add_argument("--fused-window", type=int, default=16)
+    parser.add_argument("--fused-window", type=int, default=None,
+                        help="window cells per block (default: auto from "
+                             "npc and resort cadence)")
     parser.add_argument("--fused-block", type=int, default=2048)
+    parser.add_argument("--fused-resort", type=int, default=4,
+                        help="maintenance-sort cadence (steps)")
+    parser.add_argument("--migrate-every", type=int, default=1,
+                        help="migration exchange cadence (<= 3 with the "
+                             "4-cell halo)")
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
@@ -98,10 +105,15 @@ def main(argv=None):
         photon_emission=args.qed, photon_absorption=args.qed,
         migration_capacity=max(4096, n_particles // ndev // 64),
         absorption_candidates=64,
-        sorted_pipeline=args.sorted_pipeline or args.fused,
+        sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
-        fused_window=args.fused_window,
+        fused_window=args.fused_window or (
+            -(-(args.fused_block // max(1, npc) + 16
+                + 2 * (args.fused_resort - 1)) // 8) * 8
+        ),
         fused_block=args.fused_block,
+        fused_resort_every=args.fused_resort,
+        migration_every=args.migrate_every,
     )
     espec = SpeciesSpec.electron()
     specs = {"electron": espec}

@@ -144,11 +144,17 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     fused_block = int(tpu_opt("fused_block", 2048))
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
+    fused_resort_every = int(tpu_opt("fused_resort_every", 4))
+    migration_every = int(tpu_opt("migration_every", 1))
     try:
         epc_for_w = max(1, int(input_cfg.read_usize("electrons", "npc")))
     except ConfigError:
         epc_for_w = 1
-    auto_w = _round_up(fused_block // epc_for_w + 16, 8)
+    # window: block span + stencil margin + 2 cells drift per step
+    # between maintenance sorts
+    auto_w = _round_up(
+        fused_block // epc_for_w + 16 + 2 * (fused_resort_every - 1), 8
+    )
     fused_window = int(tpu_opt("fused_window", min(512, max(16, auto_w))))
     # the window read must fit the per-device field table; shrinking it
     # below the block span only costs misfit-fallback work, not
@@ -181,6 +187,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         fused_pusher=fused_pusher,
         fused_block=fused_block,
         fused_window=fused_window,
+        fused_resort_every=fused_resort_every,
+        migration_every=migration_every,
     )
 
     if dtype is None:

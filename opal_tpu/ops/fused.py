@@ -418,9 +418,13 @@ def misfit_compact(miss, capacity):
     """Indices of up to ``capacity`` misfit rows (prefix-compacted),
     plus the overflow count.  Rows beyond the capacity are dropped from
     processing (counted so the caller can surface it)."""
+    from .deposit import _cumsum_cols
+
     n = miss.shape[0]
     m = miss > 0.5
-    rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+    # blocked two-level cumsum: a flat 1-axis cumsum at particle
+    # length costs ~1.8 ms on v5e vs ~0.3 ms blocked
+    rank = _cumsum_cols(m.astype(jnp.int32)[:, None])[:, 0] - 1
     dest = jnp.where(m & (rank < capacity), rank, capacity)
     table = jnp.full((capacity + 1,), n, jnp.int32)
     table = table.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")

@@ -349,6 +349,34 @@ def migrate_sorted(
     return unpack_state(packed, state), overflow
 
 
+def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
+    """Local cell re-sort: alive rows ascending by cell, dead rows to
+    the tail with in-range placeholder cell ``n_loc - 1``.
+
+    No exchange — this is the periodic maintenance sort of the fused
+    kernel's resort cadence (``SimOptions.fused_resort_every``): the
+    per-block window bases taken from a freshly sorted state stay valid
+    for k further steps if widened by k cells (CFL bounds cell motion
+    to one per step); arrivals inserted meanwhile land anywhere and are
+    covered by the kernel's misfit fallback.
+
+    Uses the same multi-operand payload sort as :func:`migrate_sorted`
+    (payloads ride the sort network; argsort + row gather is a
+    latency-bound 2.7x slower on v5e)."""
+    dead = ~state.alive
+    fixed = dataclasses.replace(
+        state,
+        cell=jnp.where(dead, n_loc - 1, state.cell).astype(state.cell.dtype),
+    )
+    packed = pack_state(fixed, state.x.dtype)
+    K = packed.shape[1]
+    skey = jnp.where(dead, _BIG, state.cell).astype(jnp.int32)
+    out = lax.sort(
+        (skey, *(packed[:, i] for i in range(K))), num_keys=1
+    )
+    return unpack_state(jnp.stack(out[1:], axis=1), state)
+
+
 def insert(state: ParticleState, buf: ParticleState, valid):
     """Scatter ``valid`` buffer entries into dead slots of ``state``.
 

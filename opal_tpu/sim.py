@@ -112,6 +112,21 @@ class SimOptions:
     fused_block: int = 2048
     fused_window: int = 32
     fused_misfit_capacity: int = 4096
+    # resort cadence: the fused kernel's block windows come from a
+    # periodic LOCAL payload re-sort (migrate.sort_state) instead of
+    # per-step sorted migration; between sorts the carried window bases
+    # widen by one cell per step (CFL) and fresh arrivals fall back to
+    # the misfit path.  1 = re-sort every step.  The window must cover
+    # the block span plus 2*(R-1) cells of drift.
+    fused_resort_every: int = 1
+    # migration cadence: with HALO=4 ghost cells a particle may roam
+    # up to 2 cells past its subdomain before field gathers or deposits
+    # leave the slab (ghost fields are refreshed and ghost currents
+    # folded every step, so the physics is exchange-order independent).
+    # The exchange itself then only needs to run every M <= 3 steps.
+    # Forced to 1 when QED interactions are on (absorption buckets by
+    # in-domain cell).
+    migration_every: int = 1
 
 
 class Simulation:
@@ -223,7 +238,6 @@ class Simulation:
         n_rows = geom.n_loc + 2 * HALO + 2 * F.PAD
         return (
             opt.fused_pusher
-            and opt.sorted_pipeline
             and opt.migration
             and opt.current_deposition
             and self.specs[name].kind == "electron"
@@ -234,7 +248,21 @@ class Simulation:
             and opt.fused_window + 4 <= n_rows
         )
 
-    def _fused_push_deposit(self, name, st, E_slab, B_slab):
+    def _fused_spec(self, name):
+        from .ops import fused as F
+
+        opt, geom = self.options, self.geom
+        spec = self.specs[name]
+        return F.FusedSpec(
+            block=opt.fused_block, window=opt.fused_window,
+            n_rows=geom.n_loc + 2 * HALO + 2 * F.PAD,
+            dx=geom.dx, dt=opt.dt,
+            charge=spec.charge, mass=spec.mass,
+            emission=opt.photon_emission,
+            classical=not opt.radiation_reaction,
+        )
+
+    def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
         """Fused gather+push+deposit (ops/fused.py) plus the compacted
         unfused fallback for alive rows outside their block window.
 
@@ -248,20 +276,12 @@ class Simulation:
 
         opt, geom = self.options, self.geom
         spec = self.specs[name]
-        n_slab = geom.n_loc + 2 * HALO
-        fspec = F.FusedSpec(
-            block=opt.fused_block, window=opt.fused_window,
-            n_rows=n_slab + 2 * F.PAD, dx=geom.dx, dt=opt.dt,
-            charge=spec.charge, mass=spec.mass,
-            emission=opt.photon_emission,
-            classical=not opt.radiation_reaction,
-        )
+        fspec = self._fused_spec(name)
         eb = F.make_eb_rows(E_slab, B_slab)
         macro = jnp.where(st.alive, st.weight * spec.charge, 0.0).astype(
             jnp.float32
         )
         rows = st.cell + HALO + F.PAD
-        anchors = F.block_anchors(fspec, rows, 0)
         cols, miss, out_slab = F.fused_push_deposit(
             fspec, anchors, rows, st.x, st.y, st.z,
             st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
@@ -311,34 +331,88 @@ class Simulation:
         return st, J_add, rho_add, movf
 
     def _device_step(self, carry, key, ai):
+        from .ops import fused as F
+        from .parallel.migrate import sort_state
+
         geom, opt = self.geom, self.options
-        E, B, _J_prev, _rho_prev, species, t, counters, events = carry
+        E, B, _J_prev, _rho_prev, species, t, counters, events, aux = carry
+        counter, anchors_d = aux
 
         E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
 
         # 1-2: push + migrate, species by species (reference order:
         # electrons, ions, photons — main.rs:240-244)
         mig = migrate_sorted if opt.sorted_pipeline else migrate
+        R = max(1, opt.fused_resort_every)
+        do_sort = (counter % R) == 0
+        M = max(1, min(opt.migration_every, HALO - 1))
+        if opt.photon_emission or opt.photon_absorption:
+            M = 1  # absorption pairing needs in-domain cells
+        do_mig = (counter % M) == (M - 1)
         fused_dep = {}
+        new_anchors = {}
         for name in self.specs:
             if self._fused_applicable(name, species[name]):
+                fspec = self._fused_spec(name)
+                st0 = species[name]
+                # resort cadence: periodic LOCAL payload sort restores
+                # tight block windows; in between, the carried bases
+                # widen by one cell per step (CFL bound)
+                if R == 1:
+                    st0 = sort_state(st0, geom.n_loc)
+                else:
+                    st0 = lax.cond(
+                        do_sort,
+                        lambda s: sort_state(s, geom.n_loc),
+                        lambda s: s,
+                        st0,
+                    )
+                exact = F.block_anchors(
+                    fspec, st0.cell + HALO + F.PAD, 0
+                )
+                if R == 1:
+                    anch = exact
+                else:
+                    anch = jnp.clip(
+                        jnp.where(do_sort, exact, anchors_d[name] - 1),
+                        2, fspec.n_rows - fspec.window - 2,
+                    )
+                new_anchors[name] = anch
                 st, J_add, rho_add, movf = self._fused_push_deposit(
-                    name, species[name], E_slab, B_slab
+                    name, st0, E_slab, B_slab, anch
                 )
                 fused_dep[name] = (J_add, rho_add)
                 counters = {
                     **counters, name: counters[name] + halo.psum(movf, "x")
                 }
+                # the cadence replaces sorted migration for this species
+                sp_mig = migrate
             else:
                 st = self._push_species(
                     name, species[name], E_slab, B_slab, t
                 )
+                sp_mig = mig
             if opt.migration:
-                st, ovf = mig(st, geom, "x", ai, opt.migration_capacity)
+                if M == 1:
+                    st, ovf = sp_mig(
+                        st, geom, "x", ai, opt.migration_capacity
+                    )
+                else:
+                    def _mig(s):
+                        out, o = sp_mig(
+                            s, geom, "x", ai, opt.migration_capacity
+                        )
+                        return out, o.astype(jnp.int32)
+
+                    st, ovf = lax.cond(
+                        do_mig, _mig,
+                        lambda s: (s, jnp.zeros((), jnp.int32)), st,
+                    )
                 counters = {
                     **counters, name: counters[name] + halo.psum(ovf, "x")
                 }
             species = {**species, name: st}
+        aux = (counter + 1, new_anchors)
 
         # 3-4: QED interactions
         if opt.photon_absorption:
@@ -388,6 +462,7 @@ class Simulation:
                 opt.sorted_pipeline
                 and opt.migration
                 and opt.deposit_method == "sorted"
+                and M == 1  # skipped exchanges leave cells +-1 unsorted
             )
             for name, spec in self.specs.items():
                 if spec.charge == 0.0 or name in fused_dep:
@@ -423,7 +498,19 @@ class Simulation:
         E = E_slab[HALO:-HALO]
         B = B_slab[HALO:-HALO]
 
-        return (E, B, J, rho, species, t + opt.dt, counters, events), None
+        return (E, B, J, rho, species, t + opt.dt, counters, events, aux), None
+
+    def _init_fused_aux(self, species):
+        """Scan-carried fused-kernel state: (step counter, per-species
+        block window bases).  Bases start as placeholders — the cadence
+        re-sorts and recomputes them on the first step of every run."""
+        anchors = {}
+        for name in self.specs:
+            st = species[name]
+            if self._fused_applicable(name, st):
+                nblk = st.x.shape[0] // self.options.fused_block
+                anchors[name] = jnp.full((nblk,), 2, jnp.int32)
+        return (jnp.int32(0), anchors)
 
     def _build_run(self):
         log = self._event_log
@@ -435,9 +522,12 @@ class Simulation:
                 return self._device_step(carry, step_key, ai)
 
             keys = jax.random.split(key, nsteps)
+            aux = self._init_fused_aux(species)
             carry, _ = lax.scan(
-                body, (E, B, J, rho, species, t0, counters, events), keys
+                body, (E, B, J, rho, species, t0, counters, events, aux),
+                keys,
             )
+            carry = carry[:-1]  # drop the internal fused aux leg
             if not log:
                 carry = carry[:-1]  # drop the unused events leg
             return carry

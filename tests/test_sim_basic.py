@@ -99,12 +99,43 @@ def test_pipelines_equivalent_with_deposition(ndev):
     assert a[4] == pytest.approx(b[4], rel=1e-9)
 
 
-@pytest.mark.parametrize("ndev", [1, 2])
-def test_fused_pusher_equivalent(ndev):
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_migration_cadence_equivalent(ndev):
+    """Delaying the migration exchange (particles roam <= 2 cells into
+    the 4-cell halo; ghost fields/currents stay valid every step) must
+    not change the physics: M=3 matches M=1 to f64 reassociation level
+    and conserves particles exactly."""
+    results = {}
+    for m in (1, 3):
+        sim, geom, opts, state = _drifting_setup(
+            ndev, deposition=True, migration_every=m
+        )
+        E, B, J, rho = sim.init_fields()
+        counters = sim.zero_counters()
+        key = jax.random.key(0)
+        n0 = int(jnp.sum(state.alive))
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, {"electron": state}, 0.0, key, counters, 91
+        )
+        st = species["electron"]
+        assert int(jnp.sum(st.alive)) == n0
+        assert int(counters["electron"]) == 0
+        results[m] = (
+            np.asarray(E), np.asarray(B), np.asarray(J),
+            float(sim.total_kinetic_energy("electron", st)),
+        )
+    for x, y in zip(results[1][:3], results[3][:3]):
+        np.testing.assert_allclose(y, x, rtol=1e-9, atol=1e-30)
+    assert results[3][3] == pytest.approx(results[1][3], rel=1e-12)
+
+
+@pytest.mark.parametrize("ndev,resort", [(1, 1), (2, 1), (2, 3)])
+def test_fused_pusher_equivalent(ndev, resort):
     """The fused Pallas gather+push+deposit kernel (interpret mode on
     CPU) runs the same physics as the unfused sorted pipeline in f32:
     fields and energies agree to f32 reassociation level, and no
-    particles are lost."""
+    particles are lost.  Covered at per-step resort cadence and at
+    R=3 (carried anchors + misfit fallback for arrivals)."""
     dx = 1.0e-6
     dt = 0.95 * dx / C
     nx, npc = 32 * ndev, 64
@@ -114,7 +145,8 @@ def test_fused_pusher_equivalent(ndev):
         opts = SimOptions(
             dt=dt, current_deposition=True, migration_capacity=512,
             sorted_pipeline=True, fused_pusher=fp, fused_block=256,
-            fused_window=24, fused_misfit_capacity=512,
+            fused_window=32, fused_misfit_capacity=512,
+            fused_resort_every=resort,
         )
         spec = SpeciesSpec.electron()
         sim = Simulation(geom, opts, {"electron": spec}, dtype=jnp.float32)
