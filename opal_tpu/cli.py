@@ -247,6 +247,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         uy = input_cfg.func3("ions", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("ions", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, ipc, ni) * capacity_factor))
+        if fused_pusher:  # fused kernel needs capacity % block == 0
+            cap = _round_up(cap, fused_block)
         specs["ion"] = ispecs
         states["ion"] = initialize(
             ispecs, geom, ipc, ni, ux, uy, uz, dt, cap, seed=seed + 1,

@@ -84,6 +84,7 @@ class FusedSpec(NamedTuple):
     mass: float
     emission: bool      # decrement tau against the emission rate
     classical: bool     # classical emission rate (no_radiation_reaction)
+    pusher: str = "vay"  # "vay" (electrons) or "boris" (ions)
 
 
 def _w2(xh):
@@ -140,7 +141,8 @@ def _emission_rate(chi, gamma, classical):
     h_small = (5.0 * math.pi / 3.0) * (1.0 - 8.0 * chi / (5.0 * sqrt3))
 
     cl = jnp.maximum(chi, 100.0)
-    cbrt = jnp.cbrt(cl)
+    # cbrt: Mosaic has no cbrt primitive; cl >= 100 so exp/log is safe
+    cbrt = jnp.exp(jnp.log(cl) / 3.0)
     h_large = -1019.4661473121777 + 1786.716527650374 * cbrt**2
     h_large = 1750.6263395722715 + cbrt**2 * h_large
     h_large = -2260.1819695887225 + cbrt * h_large
@@ -215,44 +217,79 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     fitf = fit.astype(F32)
     Ex *= fitf; Ey *= fitf; Ez *= fitf; Bx *= fitf; By *= fitf; Bz *= fitf
 
-    # ---- Vay push (electron.rs:268-330) -----------------------------
-    vx, vy, vz = C * ux / g, C * uy / g, C * uz / g
-    uhx = ux + alpha * (Ex + (vy * Bz - vz * By))
-    uhy = uy + alpha * (Ey + (vz * Bx - vx * Bz))
-    uhz = uz + alpha * (Ez + (vx * By - vy * Bx))
-    gh = jnp.sqrt(1.0 + uhx * uhx + uhy * uhy + uhz * uhz)
-    work = work_ref[...] + spec.charge * C * (
-        uhx * Ex + uhy * Ey + uhz * Ez
-    ) * dt / gh
+    if spec.pusher == "vay":
+        # ---- Vay push (electron.rs:268-330) -------------------------
+        vx, vy, vz = C * ux / g, C * uy / g, C * uz / g
+        uhx = ux + alpha * (Ex + (vy * Bz - vz * By))
+        uhy = uy + alpha * (Ey + (vz * Bx - vx * Bz))
+        uhz = uz + alpha * (Ez + (vx * By - vy * Bx))
+        gh = jnp.sqrt(1.0 + uhx * uhx + uhy * uhy + uhz * uhz)
+        work = work_ref[...] + spec.charge * C * (
+            uhx * Ex + uhy * Ey + uhz * Ez
+        ) * dt / gh
 
-    # chi from F.u at the half step
-    fx = gh * Ex + C * (uhy * Bz - uhz * By)
-    fy = gh * Ey + C * (uhz * Bx - uhx * Bz)
-    fz = gh * Ez + C * (uhx * By - uhy * Bx)
-    eu = Ex * uhx + Ey * uhy + Ez * uhz
-    chi = jnp.sqrt(
-        jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, 0.0)
-    ) / const.CRITICAL_FIELD
+        # chi from F.u at the half step
+        fx = gh * Ex + C * (uhy * Bz - uhz * By)
+        fy = gh * Ey + C * (uhz * Bx - uhx * Bz)
+        fz = gh * Ez + C * (uhx * By - uhy * Bx)
+        eu = Ex * uhx + Ey * uhy + Ez * uhz
+        chi = jnp.sqrt(
+            jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, 0.0)
+        ) / const.CRITICAL_FIELD
 
-    tau = tau_ref[...]
-    if spec.emission:
-        tau = tau - _emission_rate(chi, gh, spec.classical) * dt
+        tau = tau_ref[...]
+        if spec.emission:
+            tau = tau - _emission_rate(chi, gh, spec.classical) * dt
 
-    upx = uhx + alpha * Ex
-    upy = uhy + alpha * Ey
-    upz = uhz + alpha * Ez
-    gp2 = 1.0 + upx * upx + upy * upy + upz * upz
-    tvx, tvy, tvz = alpha * C * Bx, alpha * C * By, alpha * C * Bz
-    ustar = upx * tvx + upy * tvy + upz * tvz
-    t2 = tvx * tvx + tvy * tvy + tvz * tvz
-    sig = gp2 - t2
-    gn = jnp.sqrt(0.5 * sig + jnp.sqrt(0.25 * sig * sig + t2 + ustar * ustar))
-    itx, ity, itz = tvx / gn, tvy / gn, tvz / gn
-    s = 1.0 / (1.0 + itx * itx + ity * ity + itz * itz)
-    udt = upx * itx + upy * ity + upz * itz
-    unx = s * (upx + udt * itx + (upy * itz - upz * ity))
-    uny = s * (upy + udt * ity + (upz * itx - upx * itz))
-    unz = s * (upz + udt * itz + (upx * ity - upy * itx))
+        upx = uhx + alpha * Ex
+        upy = uhy + alpha * Ey
+        upz = uhz + alpha * Ez
+        gp2 = 1.0 + upx * upx + upy * upy + upz * upz
+        tvx, tvy, tvz = alpha * C * Bx, alpha * C * By, alpha * C * Bz
+        ustar = upx * tvx + upy * tvy + upz * tvz
+        t2 = tvx * tvx + tvy * tvy + tvz * tvz
+        sig = gp2 - t2
+        gn = jnp.sqrt(
+            0.5 * sig + jnp.sqrt(0.25 * sig * sig + t2 + ustar * ustar)
+        )
+        itx, ity, itz = tvx / gn, tvy / gn, tvz / gn
+        s = 1.0 / (1.0 + itx * itx + ity * ity + itz * itz)
+        udt = upx * itx + upy * ity + upz * itz
+        unx = s * (upx + udt * itx + (upy * itz - upz * ity))
+        uny = s * (upy + udt * ity + (upz * itx - upx * itz))
+        unz = s * (upz + udt * itz + (upx * ity - upy * itx))
+        # transverse positions advance with the OLD velocity
+        # (electron.rs:315-316)
+        vty, vtz = vy, vz
+    else:
+        # ---- Boris push (ion.rs:168-214): gamma-1 kept
+        # cancellation-free for non-relativistic ions ----------------
+        cBx, cBy, cBz = C * Bx, C * By, C * Bz
+        umx = ux + alpha * Ex
+        umy = uy + alpha * Ey
+        umz = uz + alpha * Ez
+        um2 = umx * umx + umy * umy + umz * umz
+        gam = 1.0 + um2 / (1.0 + jnp.sqrt(1.0 + um2))
+        tb = alpha / gam
+        upx = umx + tb * (umy * cBz - umz * cBy)
+        upy = umy + tb * (umz * cBx - umx * cBz)
+        upz = umz + tb * (umx * cBy - umy * cBx)
+        cB2 = cBx * cBx + cBy * cBy + cBz * cBz
+        tp = 2.0 * tb / (1.0 + tb * tb * cB2)
+        uplx = umx + tp * (upy * cBz - upz * cBy)
+        uply = umy + tp * (upz * cBx - upx * cBz)
+        uplz = umz + tp * (upx * cBy - upy * cBx)
+        unx = uplx + alpha * Ex
+        uny = uply + alpha * Ey
+        unz = uplz + alpha * Ez
+        un2 = unx * unx + uny * uny + unz * unz
+        gn = 1.0 + un2 / (1.0 + jnp.sqrt(1.0 + un2))
+        chi = jnp.zeros_like(x)  # ions discard chi (sim parity)
+        work = work_ref[...]
+        tau = tau_ref[...]
+        # transverse positions advance with the NEW velocity
+        # (ion.rs:208-209)
+        vty, vtz = C * uny / gn, C * unz / gn
 
     prev = x
     xn = x + C * unx * dt / (dx * gn)
@@ -267,10 +304,8 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     ncell_ref[...] = jnp.where(upd, celln, cell)
     nx_ref[...] = jnp.where(upd, xn, x)
     npx_ref[...] = jnp.where(upd, prevn, x)
-    # transverse positions advance with the OLD velocity
-    # (electron.rs:315-316)
-    ny_ref[...] = jnp.where(upd, y_ref[...] + vy * dt, y_ref[...])
-    nz_ref[...] = jnp.where(upd, z_ref[...] + vz * dt, z_ref[...])
+    ny_ref[...] = jnp.where(upd, y_ref[...] + vty * dt, y_ref[...])
+    nz_ref[...] = jnp.where(upd, z_ref[...] + vtz * dt, z_ref[...])
     nux_ref[...] = jnp.where(upd, unx, ux)
     nuy_ref[...] = jnp.where(upd, uny, uy)
     nuz_ref[...] = jnp.where(upd, unz, uz)

@@ -240,7 +240,7 @@ class Simulation:
             opt.fused_pusher
             and opt.migration
             and opt.current_deposition
-            and self.specs[name].kind == "electron"
+            and self.specs[name].kind in ("electron", "ion")
             and st.x.dtype == jnp.float32
             and st.x.shape[0] % opt.fused_block == 0
             and n_rows * 96 <= 8 * 2**20  # EB + out slabs in VMEM
@@ -258,8 +258,9 @@ class Simulation:
             n_rows=geom.n_loc + 2 * HALO + 2 * F.PAD,
             dx=geom.dx, dt=opt.dt,
             charge=spec.charge, mass=spec.mass,
-            emission=opt.photon_emission,
+            emission=opt.photon_emission and spec.kind == "electron",
             classical=not opt.radiation_reaction,
+            pusher="vay" if spec.kind == "electron" else "boris",
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
@@ -281,11 +282,13 @@ class Simulation:
         macro = jnp.where(st.alive, st.weight * spec.charge, 0.0).astype(
             jnp.float32
         )
+        zero = jnp.zeros_like(st.x)
         rows = st.cell + HALO + F.PAD
         cols, miss, out_slab = F.fused_push_deposit(
             fspec, anchors, rows, st.x, st.y, st.z,
             st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
-            st.work, st.tau, eb,
+            st.work if st.work is not None else zero,
+            st.tau if st.tau is not None else zero, eb,
             interpret=jax.default_backend() == "cpu",
         )
         J_add, rho_add = F.fold_out_slab(out_slab)
@@ -300,35 +303,50 @@ class Simulation:
         m_u = tk(st.u, 0.0)
         m_q = tk(macro, 0.0)
         Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
-        res = vay_push(
-            m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
-            tk(st.gamma, 1.0), tk(st.tau, jnp.inf), tk(st.work, 0.0),
-            Ep, Bp, geom.dx, opt.dt,
-            classical_rates=not opt.radiation_reaction,
-        )
-        vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
+        if spec.kind == "electron":
+            res = vay_push(
+                m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
+                tk(st.gamma, 1.0), tk(st.tau, jnp.inf), tk(st.work, 0.0),
+                Ep, Bp, geom.dx, opt.dt,
+                classical_rates=not opt.radiation_reaction,
+            )
+            fb = dict(
+                cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y,
+                z=res.z, u=res.u, gamma=res.gamma, chi=res.chi,
+                tau=res.tau, work=res.work,
+            )
+            vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
+        else:
+            qv = jnp.full_like(m_x, spec.charge)
+            mv = jnp.full_like(m_x, spec.mass)
+            cell_b, x_b, px_b, y_b, z_b, u_b, gm1, _chi = boris_push(
+                m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u, qv, mv,
+                Ep, Bp, geom.dx, opt.dt,
+            )
+            gb = 1.0 + gm1
+            fb = dict(
+                cell=cell_b, x=x_b, prev_x=px_b, y=y_b, z=z_b, u=u_b,
+                gamma=gb,
+            )
+            vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
         J_add, rho_add = deposit(
-            J_add, rho_add, res.cell + HALO, res.x, res.prev_x, m_q, vel,
-            geom.dx, opt.dt,
+            J_add, rho_add, fb["cell"] + HALO, fb["x"], fb["prev_x"],
+            m_q, vel, geom.dx, opt.dt,
         )
         sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
-        st = dataclasses.replace(
-            st,
-            cell=sc((cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
-                    res.cell),
-            x=sc(cols["x"], res.x),
-            prev_x=sc(cols["prev_x"], res.prev_x),
-            y=sc(cols["y"], res.y),
-            z=sc(cols["z"], res.z),
-            u=jnp.stack(
-                [cols["ux"], cols["uy"], cols["uz"]], axis=1
-            ).at[mtab].set(res.u, mode="drop"),
-            gamma=sc(cols["gamma"], res.gamma),
-            chi=sc(cols["chi"], res.chi),
-            tau=sc(cols["tau"], res.tau),
-            work=sc(cols["work"], res.work),
+        upd = dict(
+            cell=(cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
+            x=cols["x"], prev_x=cols["prev_x"], y=cols["y"], z=cols["z"],
+            u=jnp.stack([cols["ux"], cols["uy"], cols["uz"]], axis=1),
+            gamma=cols["gamma"], chi=cols["chi"],
         )
-        return st, J_add, rho_add, movf
+        if st.tau is not None:
+            upd["tau"] = cols["tau"]
+        if st.work is not None:
+            upd["work"] = cols["work"]
+        for fname, col in upd.items():
+            upd[fname] = sc(col, fb[fname]) if fname in fb else col
+        return dataclasses.replace(st, **upd), J_add, rho_add, movf
 
     def _device_step(self, carry, key, ai):
         from .ops import fused as F

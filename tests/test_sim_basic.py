@@ -181,6 +181,61 @@ def test_fused_pusher_equivalent(ndev, resort):
     assert b[3] == pytest.approx(a[3], rel=1e-5)
 
 
+def test_fused_ion_pusher_equivalent():
+    """The Boris variant of the fused kernel (ions) matches the unfused
+    two-species run: fields and both species' energies agree at f32
+    reassociation level."""
+    ndev = 2
+    dx = 1.0e-6
+    dt = 0.95 * dx / C
+    nx, npc = 32 * ndev, 32
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    especs = SpeciesSpec.electron()
+    ispecs = SpeciesSpec.ion("proton", 1.0, 1.0)
+    results = {}
+    for fp in (False, True):
+        opts = SimOptions(
+            dt=dt, current_deposition=True, migration_capacity=512,
+            fused_pusher=fp, fused_block=256, fused_window=32,
+            fused_misfit_capacity=512, fused_resort_every=2,
+        )
+        sim = Simulation(
+            geom, opts, {"electron": especs, "ion": ispecs},
+            dtype=jnp.float32,
+        )
+        states = {}
+        for nm, spec, seed in (("electron", especs, 7), ("ion", ispecs, 9)):
+            states[nm] = sim.shard_particles(initialize(
+                spec, geom, npc,
+                density=lambda x: np.full_like(x, 1.0e6),
+                ux=lambda x, u, n: np.full_like(x, 0.5) * np.sign(u - 0.5),
+                uy=lambda x, u, n: 0.05 * n,
+                uz=lambda x, u, n: np.zeros_like(x),
+                dt=dt, capacity_per_device=2 * nx * npc // ndev, seed=seed,
+                dtype=np.float32,
+            ))
+        E, B, J, rho = sim.init_fields()
+        counters = sim.zero_counters()
+        n0 = {nm: int(jnp.sum(states[nm].alive)) for nm in states}
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, states, 0.0, jax.random.key(0), counters, 60
+        )
+        for nm in species:
+            assert int(jnp.sum(species[nm].alive)) == n0[nm], nm
+            assert int(counters[nm]) == 0, nm
+        results[fp] = (
+            np.asarray(E), np.asarray(J),
+            float(sim.total_kinetic_energy("electron", species["electron"])),
+            float(sim.total_kinetic_energy("ion", species["ion"])),
+        )
+    a, b = results[False], results[True]
+    for x, y in zip(a[:2], b[:2]):
+        scale = max(np.max(np.abs(x)), 1e-30)
+        np.testing.assert_allclose(y, x, atol=5e-4 * scale, rtol=0)
+    assert b[2] == pytest.approx(a[2], rel=1e-5)
+    assert b[3] == pytest.approx(a[3], rel=1e-5)
+
+
 @pytest.mark.parametrize("ndev", [1, 4])
 def test_single_particle_trajectory_across_devices(ndev):
     """A single particle's global position must follow x(t) = x0 + v t
