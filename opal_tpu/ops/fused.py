@@ -119,16 +119,30 @@ def _flux(x_i, x_f):
     )
 
 
+# degree-8 polynomial fit of ln h(ln chi / ln 100) through the
+# reference's 41-point table (photon_emission_tables.rs / _H_LN_H),
+# max relative error of h: 2.5e-4 over chi in [0.01, 100] — inside
+# the reference's own 1e-3 rate-accuracy target.  A select-sum over
+# the 41 table entries compiled standalone but made Mosaic's optimizer
+# effectively hang (>28 min) inside the scanned QED step.
+_LN_H_POLY = (
+    1.3217019337938438,
+    -0.800692634177212,
+    -0.5625023596588252,
+    0.06793357639221173,
+    0.1458982593778783,
+    -0.05383087070092566,
+    -0.02790214150750285,
+    0.01688071399374545,
+    -0.00042397702351609654,
+)
+_LN_H_HALF = 4.60517019  # ln 100
+
+
 def _emission_rate(chi, gamma, classical):
     """Quantum-synchrotron emission rate, in-kernel variant of
-    ``qed.emission.rate`` / ``classical_rate`` (photon_emission.rs:59-85).
-
-    The 41-point log-log table interpolation is done as a select-sum
-    over the (trace-time constant) table — no per-element gathers,
-    which Mosaic does not lower."""
-    from ..qed import emission as em
-    from ..qed import tables_data as T
-
+    ``qed.emission.rate`` / ``classical_rate`` (photon_emission.rs:59-85):
+    same asymptotics, polynomial mid-range (see ``_LN_H_POLY``)."""
     sqrt3 = math.sqrt(3.0)
     chi_safe = jnp.maximum(chi, 1.0e-300)
     if classical:
@@ -148,20 +162,11 @@ def _emission_rate(chi, gamma, classical):
     h_large = -2260.1819695887225 + cbrt * h_large
     h_large = 0.00296527643253334 * h_large / cl**2
 
-    ln_chi0 = float(em._H_LN_CHI[0])
-    n_tab = int(em._H_LN_CHI.shape[0])
-    index = (jnp.log(chi_safe) - ln_chi0) / T.DELTA_LN_CHI
-    index = jnp.clip(index, 0.0, n_tab - 1.0 - 1e-12)
-    lo = jnp.clip(jnp.floor(index), 0.0, n_tab - 2.0)
-    w = index - lo
-    table = [float(v) for v in em._H_LN_H]
-    ln_lo = jnp.zeros_like(chi)
-    ln_hi = jnp.zeros_like(chi)
-    for i in range(n_tab - 1):
-        sel = lo == float(i)
-        ln_lo = jnp.where(sel, table[i], ln_lo)
-        ln_hi = jnp.where(sel, table[i + 1], ln_hi)
-    h_mid = jnp.exp((1.0 - w) * ln_lo + w * ln_hi)
+    s = jnp.log(chi_safe) / _LN_H_HALF
+    acc = jnp.full_like(chi, _LN_H_POLY[-1])
+    for c in _LN_H_POLY[-2::-1]:
+        acc = acc * s + c
+    h_mid = jnp.exp(acc)
 
     h = jnp.where(chi < 0.01, h_small, jnp.where(chi >= 100.0, h_large, h_mid))
     return (
@@ -455,13 +460,16 @@ def misfit_compact(miss, capacity):
     processing (counted so the caller can surface it)."""
     from .deposit import _cumsum_cols
 
-    n = miss.shape[0]
     m = miss > 0.5
-    # blocked two-level cumsum: a flat 1-axis cumsum at particle
-    # length costs ~1.8 ms on v5e vs ~0.3 ms blocked
-    rank = _cumsum_cols(m.astype(jnp.int32)[:, None])[:, 0] - 1
-    dest = jnp.where(m & (rank < capacity), rank, capacity)
-    table = jnp.full((capacity + 1,), n, jnp.int32)
-    table = table.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    total = jnp.sum(m.astype(jnp.int32))
-    return table[:capacity], jnp.maximum(total - capacity, 0)
+    # blocked two-level cumsum (a flat particle-length cumsum costs
+    # ~1.8 ms on v5e vs ~0.3 ms blocked), then searchsorted recovers
+    # the index of the r-th misfit: R jumps by one exactly at misfit
+    # rows, and queries beyond the total land at n (dropped by the
+    # caller's fill/drop modes).  A scatter-built table would be a
+    # latency-bound particle-length scatter (~13 ms).
+    R = _cumsum_cols(m.astype(jnp.int32)[:, None])[:, 0]
+    table = jnp.searchsorted(
+        R, jnp.arange(1, capacity + 1, dtype=R.dtype)
+    ).astype(jnp.int32)
+    total = R[-1]
+    return table, jnp.maximum(total - capacity, 0)
