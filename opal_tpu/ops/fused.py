@@ -82,8 +82,6 @@ class FusedSpec(NamedTuple):
     dt: float
     charge: float       # species charge (for q/m in the push)
     mass: float
-    emission: bool      # decrement tau against the emission rate
-    classical: bool     # classical emission rate (no_radiation_reaction)
     pusher: str = "vay"  # "vay" (electrons) or "boris" (ions)
 
 
@@ -119,67 +117,11 @@ def _flux(x_i, x_f):
     )
 
 
-# degree-8 polynomial fit of ln h(ln chi / ln 100) through the
-# reference's 41-point table (photon_emission_tables.rs / _H_LN_H),
-# max relative error of h: 2.5e-4 over chi in [0.01, 100] — inside
-# the reference's own 1e-3 rate-accuracy target.  A select-sum over
-# the 41 table entries compiled standalone but made Mosaic's optimizer
-# effectively hang (>28 min) inside the scanned QED step.
-_LN_H_POLY = (
-    1.3217019337938438,
-    -0.800692634177212,
-    -0.5625023596588252,
-    0.06793357639221173,
-    0.1458982593778783,
-    -0.05383087070092566,
-    -0.02790214150750285,
-    0.01688071399374545,
-    -0.00042397702351609654,
-)
-_LN_H_HALF = 4.60517019  # ln 100
-
-
-def _emission_rate(chi, gamma, classical):
-    """Quantum-synchrotron emission rate, in-kernel variant of
-    ``qed.emission.rate`` / ``classical_rate`` (photon_emission.rs:59-85):
-    same asymptotics, polynomial mid-range (see ``_LN_H_POLY``)."""
-    sqrt3 = math.sqrt(3.0)
-    chi_safe = jnp.maximum(chi, 1.0e-300)
-    if classical:
-        h = 5.0 * math.pi / 3.0
-        return (
-            sqrt3 * const.ALPHA_FINE * chi * h
-            / (2.0 * math.pi * gamma * const.COMPTON_TIME)
-        )
-
-    h_small = (5.0 * math.pi / 3.0) * (1.0 - 8.0 * chi / (5.0 * sqrt3))
-
-    cl = jnp.maximum(chi, 100.0)
-    # cbrt: Mosaic has no cbrt primitive; cl >= 100 so exp/log is safe
-    cbrt = jnp.exp(jnp.log(cl) / 3.0)
-    h_large = -1019.4661473121777 + 1786.716527650374 * cbrt**2
-    h_large = 1750.6263395722715 + cbrt**2 * h_large
-    h_large = -2260.1819695887225 + cbrt * h_large
-    h_large = 0.00296527643253334 * h_large / cl**2
-
-    s = jnp.log(chi_safe) / _LN_H_HALF
-    acc = jnp.full_like(chi, _LN_H_POLY[-1])
-    for c in _LN_H_POLY[-2::-1]:
-        acc = acc * s + c
-    h_mid = jnp.exp(acc)
-
-    h = jnp.where(chi < 0.01, h_small, jnp.where(chi >= 100.0, h_large, h_mid))
-    return (
-        sqrt3 * const.ALPHA_FINE * chi * h
-        / (2.0 * math.pi * gamma * const.COMPTON_TIME)
-    )
-
-
 def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
-            ux_ref, uy_ref, uz_ref, g_ref, q_ref, work_ref, tau_ref,
+            ux_ref, uy_ref, uz_ref, g_ref, q_ref, work_ref,
             eb_ref,
             ncell_ref, nx_ref, npx_ref, ny_ref, nz_ref, nux_ref, nuy_ref,
-            nuz_ref, ng_ref, nwork_ref, ntau_ref, nchi_ref, miss_ref,
+            nuz_ref, ng_ref, nwork_ref, ngh_ref, nchi_ref, miss_ref,
             out_ref):
     W = spec.window
     dt, dx = spec.dt, spec.dx
@@ -242,10 +184,6 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
             jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, 0.0)
         ) / const.CRITICAL_FIELD
 
-        tau = tau_ref[...]
-        if spec.emission:
-            tau = tau - _emission_rate(chi, gh, spec.classical) * dt
-
         upx = uhx + alpha * Ex
         upy = uhy + alpha * Ey
         upz = uhz + alpha * Ez
@@ -290,8 +228,8 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
         un2 = unx * unx + uny * uny + unz * unz
         gn = 1.0 + un2 / (1.0 + jnp.sqrt(1.0 + un2))
         chi = jnp.zeros_like(x)  # ions discard chi (sim parity)
+        gh = gam
         work = work_ref[...]
-        tau = tau_ref[...]
         # transverse positions advance with the NEW velocity
         # (ion.rs:208-209)
         vty, vtz = C * uny / gn, C * unz / gn
@@ -316,7 +254,10 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     nuz_ref[...] = jnp.where(upd, unz, uz)
     ng_ref[...] = jnp.where(upd, gn, g)
     nwork_ref[...] = jnp.where(upd, work, work_ref[...])
-    ntau_ref[...] = jnp.where(upd, tau, tau_ref[...])
+    # chi and gamma_half feed the OUT-OF-KERNEL optical-depth update
+    # (qed.emission.rate): rate(chi=0) = 0, so zeroed non-updated rows
+    # are naturally inert there
+    ngh_ref[...] = jnp.where(upd, gh, 1.0)
     nchi_ref[...] = jnp.where(upd, chi, 0.0)
     miss_ref[...] = miss.astype(F32)
 
@@ -353,7 +294,7 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
 
 
 def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
-                       uz, gamma, macrocharge, work, tau, eb_rows,
+                       uz, gamma, macrocharge, work, eb_rows,
                        *, interpret=False):
     """Run the fused kernel over all particle blocks.
 
@@ -387,7 +328,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
-            in_specs=[pspec() for _ in range(11)]
+            in_specs=[pspec() for _ in range(10)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=tuple(out_specs),
         ),
@@ -397,15 +338,15 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         anchors.astype(jnp.int32),
         as2d(cell, jnp.int32), as2d(x), as2d(y), as2d(z), as2d(ux),
         as2d(uy), as2d(uz), as2d(gamma), as2d(macrocharge), as2d(work),
-        as2d(tau), eb_rows,
+        eb_rows,
     )
-    (ncell, nx, npx, ny, nz, nux, nuy, nuz, ng, nwork, ntau, nchi, miss,
+    (ncell, nx, npx, ny, nz, nux, nuy, nuz, ng, nwork, ngh, nchi, miss,
      out_slab) = outs
     cols = dict(
         cell=ncell.reshape(n), x=nx.reshape(n), prev_x=npx.reshape(n),
         y=ny.reshape(n), z=nz.reshape(n),
         ux=nux.reshape(n), uy=nuy.reshape(n), uz=nuz.reshape(n),
-        gamma=ng.reshape(n), work=nwork.reshape(n), tau=ntau.reshape(n),
+        gamma=ng.reshape(n), work=nwork.reshape(n), gh=ngh.reshape(n),
         chi=nchi.reshape(n),
     )
     return cols, miss.reshape(n), out_slab

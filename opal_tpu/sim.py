@@ -258,8 +258,6 @@ class Simulation:
             n_rows=geom.n_loc + 2 * HALO + 2 * F.PAD,
             dx=geom.dx, dt=opt.dt,
             charge=spec.charge, mass=spec.mass,
-            emission=opt.photon_emission and spec.kind == "electron",
-            classical=not opt.radiation_reaction,
             pusher="vay" if spec.kind == "electron" else "boris",
         )
 
@@ -287,11 +285,31 @@ class Simulation:
         cols, miss, out_slab = F.fused_push_deposit(
             fspec, anchors, rows, st.x, st.y, st.z,
             st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
-            st.work if st.work is not None else zero,
-            st.tau if st.tau is not None else zero, eb,
+            st.work if st.work is not None else zero, eb,
             interpret=jax.default_backend() == "cpu",
         )
         J_add, rho_add = F.fold_out_slab(out_slab)
+
+        # optical depth decrements OUTSIDE the kernel (any tau update
+        # inside made Mosaic's optimizer effectively hang when the
+        # kernel sat in the scanned QED step): the kernel outputs chi
+        # and gamma_half, and rate(chi=0)=0 keeps dead/misfit rows
+        # inert (electron.rs:287)
+        # (skipped when emission is off: tau is then inf/unconsumed,
+        # so the always-decrement of the reference is a no-op)
+        tau_new = st.tau
+        if (
+            spec.kind == "electron" and st.tau is not None
+            and opt.photon_emission
+        ):
+            from .qed import emission as em
+
+            rate_fn = (
+                em.rate if opt.radiation_reaction else em.classical_rate
+            )
+            tau_new = (
+                st.tau - rate_fn(cols["chi"], cols["gh"]) * opt.dt
+            ).astype(st.tau.dtype)
 
         # fallback: compact misfits, run the unfused ops, scatter back
         mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
@@ -341,7 +359,7 @@ class Simulation:
             gamma=cols["gamma"], chi=cols["chi"],
         )
         if st.tau is not None:
-            upd["tau"] = cols["tau"]
+            upd["tau"] = tau_new
         if st.work is not None:
             upd["work"] = cols["work"]
         for fname, col in upd.items():
