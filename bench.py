@@ -45,16 +45,18 @@ def main(argv=None):
                         action="store_true", default=False,
                         help="bench A/B: cell-sorted pipeline (migrate_sorted "
                              "+ sort-free deposition)")
-    parser.add_argument("--fused", action="store_true",
+    parser.add_argument("--fused", action="store_true", default=True,
                         help="fused Pallas gather+push+deposit kernel "
-                             "(implies --sorted-pipeline)")
+                             "(default on; --no-fused for the unfused "
+                             "pipeline)")
+    parser.add_argument("--no-fused", dest="fused", action="store_false")
     parser.add_argument("--fused-window", type=int, default=None,
                         help="window cells per block (default: auto from "
                              "npc and resort cadence)")
     parser.add_argument("--fused-block", type=int, default=2048)
-    parser.add_argument("--fused-resort", type=int, default=4,
+    parser.add_argument("--fused-resort", type=int, default=8,
                         help="maintenance-sort cadence (steps)")
-    parser.add_argument("--migrate-every", type=int, default=1,
+    parser.add_argument("--migrate-every", type=int, default=3,
                         help="migration exchange cadence (<= 3 with the "
                              "4-cell halo)")
     parser.add_argument("--qed", action="store_true",
@@ -103,7 +105,10 @@ def main(argv=None):
     opts = SimOptions(
         dt=dt, current_deposition=args.deposition, migration=args.migration,
         photon_emission=args.qed, photon_absorption=args.qed,
-        migration_capacity=max(4096, n_particles // ndev // 64),
+        # sized for the real flux (CFL bounds leavers to one boundary
+        # cell of particles per step); compact-migration gather/scatter
+        # cost scales with this, so do not oversize
+        migration_capacity=4096,
         absorption_candidates=64,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,

@@ -97,7 +97,15 @@ def emit_radiation(sim, species, t, key):
         gamma_new = jnp.where(emits, gamma_new, e.gamma)
     else:
         u_new, gamma_new, chi_new = e.u, e.gamma, e.chi
-    e = dataclasses.replace(e, u=u_new, gamma=gamma_new, chi=chi_new, tau=new_tau)
+    # cast back: the sampling tables are f64 and must not promote f32
+    # state (breaks the scan carry dtype when x64 is enabled)
+    e = dataclasses.replace(
+        e,
+        u=u_new.astype(e.u.dtype),
+        gamma=gamma_new.astype(e.gamma.dtype),
+        chi=chi_new.astype(e.chi.dtype),
+        tau=new_tau.astype(e.tau.dtype),
+    )
 
     # --- filters (interactions.rs:74-97) ------------------------------
     k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _TINY))
@@ -119,12 +127,12 @@ def emit_radiation(sim, species, t, key):
     buf = ParticleState(
         cell=e.cell,
         x=e.x,
-        prev_x=prev_x,
+        prev_x=prev_x.astype(dtype),
         y=jnp.zeros(n, dtype),
         z=jnp.zeros(n, dtype),
         weight=e.weight,
-        u=k_ph,
-        gamma=k0,
+        u=k_ph.astype(dtype),
+        gamma=k0.astype(dtype),
         chi=jnp.zeros(n, dtype),
         tau=None,
         tau_abs=jax.random.exponential(ek[0], shape, dtype),
@@ -134,7 +142,7 @@ def emit_radiation(sim, species, t, key):
         alive=keep,
         # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
         pol=jnp.zeros((n, 4), dtype),
-        basis=jnp.concatenate([k_ph, k_ph], axis=1),
+        basis=jnp.concatenate([k_ph, k_ph], axis=1).astype(dtype),
     )
     ph, overflow = insert(ph, buf, keep)
     return {**species, "electron": e, "photon": ph}, overflow

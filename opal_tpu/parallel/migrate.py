@@ -349,6 +349,147 @@ def migrate_sorted(
     return unpack_state(packed, state), overflow
 
 
+def _rank_table(cum, capacity):
+    """Indices of the first ``capacity`` set rows of the mask whose
+    inclusive cumulative count is ``cum`` (n for missing): the count
+    jumps by one exactly at set rows, so searchsorted recovers them
+    without any particle-length scatter."""
+    return jnp.searchsorted(
+        cum, jnp.arange(1, capacity + 1, dtype=cum.dtype)
+    ).astype(jnp.int32)
+
+
+def _gather_rows(state: ParticleState, idx):
+    """(len(idx), K) packed rows gathered per column (out-of-range
+    indices yield zeros)."""
+    pieces = []
+    for name, w, _, _ in _layout(state):
+        a = getattr(state, name)
+        rows = jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+        pieces.append(rows.reshape(idx.shape[0], w).astype(state.x.dtype))
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _scatter_rows(state: ParticleState, idx, packed, valid):
+    """Scatter packed rows into ``state`` at ``idx`` (rows with
+    ``valid`` False are dropped via an out-of-range index)."""
+    n = state.alive.shape[0]
+    dest = jnp.where(valid, idx, n)
+    fields = {}
+    i = 0
+    for name, w, dt, tail in _layout(state):
+        sl = packed[:, i : i + w]
+        v = sl.reshape((idx.shape[0],) + tail) if tail else sl[:, 0]
+        if dt == jnp.bool_:
+            v = v > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            v = jnp.round(v).astype(dt)
+        else:
+            v = v.astype(dt)
+        fields[name] = getattr(state, name).at[dest].set(v, mode="drop")
+        i += w
+    return dataclasses.replace(state, **fields)
+
+
+def migrate_compact(
+    state: ParticleState,
+    geom: GridGeometry,
+    axis_name: str,
+    axis_index,
+    send_capacity: int,
+):
+    """Leaver-count-proportional migration (same semantics as
+    :func:`migrate`): leavers and free slots are located with ONE
+    blocked cumulative sum + searchsorted index tables, so all data
+    movement is (send_capacity, K)-sized.  The full-state variant pays
+    a stable argsort, a pack/unpack round trip and full-length masked
+    clears (~17 ms at 2.6M rows on v5e) for work that involves a few
+    thousand rows (~2 ms here).
+
+    Reference: sort + splice + ssend/recv (src/particle/mod.rs:284-375).
+    """
+    from ..ops.deposit import _cumsum_cols
+
+    n_loc, ndev = geom.n_loc, geom.n_devices
+    periodic = geom.left_boundary == "periodic"
+    n = state.alive.shape[0]
+    cap = int(min(send_capacity, n // 2))
+
+    alive, cell = state.alive, state.cell
+    go_left = alive & (cell < 0)
+    go_right = alive & (cell >= n_loc)
+    if not periodic:
+        # delete at the global domain edges (mod.rs:309-329)
+        g = axis_index * n_loc + cell
+        out_left = g < geom.interior_start
+        out_right = g >= geom.interior_end
+        deleted = alive & (out_left | out_right)
+        go_left = go_left & ~out_left & ~out_right
+        go_right = go_right & ~out_left & ~out_right
+    else:
+        deleted = jnp.zeros_like(alive)
+
+    gone = go_left | go_right | deleted
+    dead_after = ~alive | gone
+    m3 = jnp.stack([go_left, go_right, dead_after], axis=1).astype(jnp.int32)
+    cum = _cumsum_cols(m3)
+    n_left = cum[-1, 0]
+    n_right = cum[-1, 1]
+
+    lt = _rank_table(cum[:, 0], cap)
+    rt = _rank_table(cum[:, 1], cap)
+    lane = jnp.arange(cap)
+    lvalid = lane < n_left
+    rvalid = lane < n_right
+    overflow = jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
+
+    cell_col = _column_index(state, "cell")
+    send_left = _gather_rows(state, lt).at[:, cell_col].add(n_loc)
+    send_right = _gather_rows(state, rt).at[:, cell_col].add(-n_loc)
+
+    perm_to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    perm_to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+    n_arr_l = lax.ppermute(
+        jnp.minimum(n_right, cap), axis_name, perm_to_right
+    )
+    n_arr_r = lax.ppermute(jnp.minimum(n_left, cap), axis_name, perm_to_left)
+    from_right = lax.ppermute(send_left, axis_name, perm_to_left)
+    from_left = lax.ppermute(send_right, axis_name, perm_to_right)
+
+    # retire leavers and boundary-deleted rows: clear alive plus the
+    # fields later passes might read through dead rows (cell in range,
+    # weight/momentum zero -> inert in push, deposit, energy sums)
+    gt = _rank_table(
+        _cumsum_cols(gone.astype(jnp.int32)[:, None])[:, 0], 2 * cap
+    )
+    zero32 = jnp.zeros((2 * cap,), jnp.float32)
+    state = dataclasses.replace(
+        state,
+        alive=state.alive.at[gt].set(False, mode="drop"),
+        cell=state.cell.at[gt].set(0, mode="drop"),
+        weight=state.weight.at[gt].set(
+            zero32.astype(state.weight.dtype), mode="drop"
+        ),
+        u=state.u.at[gt].set(0.0, mode="drop"),
+    )
+
+    # arrivals land in free slots (leaver slots just vacated included)
+    free = ~state.alive
+    ft = _rank_table(
+        _cumsum_cols(free.astype(jnp.int32)[:, None])[:, 0], 2 * cap
+    )
+    n_free = jnp.sum(free.astype(jnp.int32))
+    recv = jnp.concatenate([from_left, from_right])
+    rlane = jnp.arange(2 * cap)
+    rv = jnp.concatenate([lane < n_arr_l, lane < n_arr_r])
+    rrank = jnp.cumsum(rv.astype(jnp.int32)) - 1
+    ok = rv & (rrank < n_free) & (rrank < 2 * cap)
+    slots = jnp.take(ft, jnp.clip(rrank, 0, 2 * cap - 1), mode="clip")
+    state = _scatter_rows(state, slots, recv, ok)
+    ins_overflow = jnp.sum(rv.astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
+    return state, overflow + ins_overflow
+
+
 def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
     """Local cell re-sort: alive rows ascending by cell, dead rows to
     the tail with in-range placeholder cell ``n_loc - 1``.

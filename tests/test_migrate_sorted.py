@@ -11,7 +11,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from opal_tpu.grid import GridGeometry
-from opal_tpu.parallel.migrate import migrate, migrate_sorted
+from opal_tpu.parallel.migrate import migrate, migrate_compact, migrate_sorted
 from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
 
 
@@ -137,6 +137,44 @@ def test_sorted_tight_capacity():
     for d in range(ndev):
         assert np.all(np.diff(cells[d]) >= 0), d
         assert cells[d].min() >= 0 and cells[d].max() < geom.n_loc
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_compact_matches_classic_content(ndev):
+    """migrate_compact (index-table exchange) moves exactly the same
+    physical content as the full-state variant."""
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _random_state(geom, cap, 96, seed=3)
+
+    out_c, ovf_c = _run(migrate_compact, state, geom, 64)
+    out_f, ovf_f = _run(migrate, state, geom, 64)
+
+    assert int(ovf_c) == 0 and int(ovf_f) == 0
+    a = _alive_multiset(out_c, geom, ndev, cap)
+    b = _alive_multiset(out_f, geom, ndev, cap)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    # retired rows are inert: weight/u zeroed, cell in range
+    al = np.asarray(out_c.alive)
+    assert np.all(np.asarray(out_c.weight)[~al] == 0.0)
+    cells = np.asarray(out_c.cell)
+    assert cells.min() >= 0 and cells.max() < geom.n_loc
+
+
+def test_compact_non_periodic_deletes_at_edges():
+    ndev = 4
+    geom = GridGeometry(
+        nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev,
+        left_boundary="laser", right_boundary="absorbing",
+    )
+    cap = 256
+    state = _random_state(geom, cap, 96, seed=5)
+    out_c, ovf_c = _run(migrate_compact, state, geom, 64)
+    out_f, ovf_f = _run(migrate, state, geom, 64)
+    a = _alive_multiset(out_c, geom, ndev, cap)
+    b = _alive_multiset(out_f, geom, ndev, cap)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    assert int(ovf_c) == int(ovf_f)
 
 
 def test_sorted_arrival_with_no_left_flux():

@@ -1,6 +1,7 @@
 """End-to-end PIC step tests: streaming, migration, and energy
 book-keeping, across device counts."""
 
+import dataclasses
 import math
 
 import jax
@@ -179,6 +180,70 @@ def test_fused_pusher_equivalent(ndev, resort):
         scale = max(np.max(np.abs(x)), 1e-30)
         np.testing.assert_allclose(y, x, atol=5e-4 * scale, rtol=0)
     assert b[3] == pytest.approx(a[3], rel=1e-5)
+
+
+def test_fused_tau_chi_parity_with_emission():
+    """With photon emission on, the fused path's out-of-kernel optical
+    depth update (rate(chi, gamma_half) from the kernel outputs) must
+    match the unfused vay_push decrement.  tau starts high so no
+    stochastic emission fires — the decrement itself is deterministic."""
+    ndev = 2
+    dx = 1.0e-7
+    dt = 0.95 * dx / C
+    nx, npc = 32 * ndev, 32
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    # field strength giving chi ~ 0.05 at gamma=1000
+    b0 = 0.05 * const.CRITICAL_FIELD / (C * 1000.0)
+    results = {}
+    for fp in (False, True):
+        opts = SimOptions(
+            dt=dt, current_deposition=True, photon_emission=True,
+            migration_capacity=512, fused_pusher=fp, fused_block=256,
+            fused_window=32, fused_misfit_capacity=512,
+        )
+        especs = SpeciesSpec.electron()
+        sim = Simulation(
+            geom, opts, {"electron": especs, "photon": SpeciesSpec.photon()},
+            dtype=jnp.float32,
+        )
+        state = sim.shard_particles(initialize(
+            especs, geom, npc,
+            density=lambda x: np.full_like(x, 1.0e6),
+            ux=lambda x, u, n: np.full_like(x, -1000.0),
+            uy=lambda x, u, n: np.zeros_like(x),
+            uz=lambda x, u, n: np.zeros_like(x),
+            dt=dt, capacity_per_device=2 * nx * npc // ndev, seed=7,
+            dtype=np.float32,
+        ))
+        state = dataclasses.replace(state, tau=state.tau + 50.0)
+        phot = sim.shard_particles(initialize(
+            SpeciesSpec.photon(), geom, 0, lambda x: x * 0,
+            None, None, None, dt, 256, seed=8, dtype=np.float32,
+        ))
+        E, B, J, rho = sim.init_fields()
+        B = jax.device_put(
+            jnp.zeros_like(B).at[:, 2].set(b0), B.sharding
+        )
+        counters = sim.zero_counters()
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, {"electron": state, "photon": phot}, 0.0,
+            jax.random.key(0), counters, 5
+        )
+        st = species["electron"]
+        al = np.asarray(st.alive)
+        assert int(np.asarray(species["photon"].alive).sum()) == 0
+        results[fp] = (
+            np.sort(np.asarray(st.tau)[al]),
+            np.sort(np.asarray(st.chi)[al]),
+        )
+    # tau decrements and chi agree at f32 level
+    np.testing.assert_allclose(
+        results[True][0], results[False][0], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        results[True][1], results[False][1], rtol=0, atol=3e-4 * 0.05
+    )
+    assert results[False][1].max() > 0.01  # chi actually nonzero
 
 
 def test_fused_ion_pusher_equivalent():
