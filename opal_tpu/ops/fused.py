@@ -365,18 +365,24 @@ def fold_out_slab(out_slab):
     """(n_rows, 16) unshifted tap accumulator -> (n_slab, 3) J and
     (n_slab,) rho.  Column c with tap offset ``off`` contributes at
     row + off; rows written by the kernel stay >= 2 away from the
-    table edge, so plain rolls are exact."""
+    table edge, so wrapped gather rows are exact (zero).
+
+    All 16 columns are shifted in ONE take_along_axis and assembled in
+    one fused elementwise pass — per-column ``jnp.roll``s would be ~26
+    tiny kernels, ~1.4 ms of pure launch cost at n_rows ~ 1k on v5e."""
     n_rows = out_slab.shape[0]
-    J = jnp.zeros((n_rows, 3), F32)
-    rho = jnp.zeros((n_rows,), F32)
-    for ci, (off, target) in enumerate(COLS):
-        if target == 4:
-            continue
-        col = jnp.roll(out_slab[:, ci], off)
-        if target == 3:
-            rho = rho + col
-        else:
-            J = J.at[:, target].add(col)
+    offs = jnp.asarray([off for off, _ in COLS])
+    src = (jnp.arange(n_rows)[:, None] - offs[None, :]) % n_rows
+    shifted = jnp.take_along_axis(out_slab, src, axis=0)  # (n_rows, 16)
+    tgt = [t for _, t in COLS]
+    J = jnp.stack(
+        [
+            sum(shifted[:, k] for k in range(len(COLS)) if tgt[k] == c)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    rho = sum(shifted[:, k] for k in range(len(COLS)) if tgt[k] == 3)
     return J[PAD:-PAD], rho[PAD:-PAD]
 
 

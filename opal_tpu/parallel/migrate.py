@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax, tree_util
@@ -349,16 +350,6 @@ def migrate_sorted(
     return unpack_state(packed, state), overflow
 
 
-def _rank_table(cum, capacity):
-    """Indices of the first ``capacity`` set rows of the mask whose
-    inclusive cumulative count is ``cum`` (n for missing): the count
-    jumps by one exactly at set rows, so searchsorted recovers them
-    without any particle-length scatter."""
-    return jnp.searchsorted(
-        cum, jnp.arange(1, capacity + 1, dtype=cum.dtype)
-    ).astype(jnp.int32)
-
-
 def _gather_rows(state: ParticleState, idx):
     """(len(idx), K) packed rows gathered per column (out-of-range
     indices yield zeros)."""
@@ -431,13 +422,28 @@ def migrate_compact(
 
     gone = go_left | go_right | deleted
     dead_after = ~alive | gone
-    m3 = jnp.stack([go_left, go_right, dead_after], axis=1).astype(jnp.int32)
-    cum = _cumsum_cols(m3)
+    # ONE blocked cumsum + ONE batched searchsorted yields all four
+    # index tables (left/right send rows, retired rows, free slots):
+    # separate cumsums + searchsorteds cost ~3 full-length passes and
+    # four binary-search kernels (~5 ms at 2.6M rows on v5e).
+    # dead_after is exactly the post-retire free mask, so the free-slot
+    # table can be built from the same pass.
+    m4 = jnp.stack(
+        [go_left, go_right, gone, dead_after], axis=1
+    ).astype(jnp.int32)
+    cum = _cumsum_cols(m4)
     n_left = cum[-1, 0]
     n_right = cum[-1, 1]
+    n_free = cum[-1, 3]
 
-    lt = _rank_table(cum[:, 0], cap)
-    rt = _rank_table(cum[:, 1], cap)
+    q = jnp.arange(1, 2 * cap + 1, dtype=cum.dtype)
+    tabs = jax.vmap(jnp.searchsorted, in_axes=(1, None))(cum, q).astype(
+        jnp.int32
+    )
+    lt = tabs[0, :cap]
+    rt = tabs[1, :cap]
+    gt = tabs[2]
+    ft = tabs[3]
     lane = jnp.arange(cap)
     lvalid = lane < n_left
     rvalid = lane < n_right
@@ -459,9 +465,6 @@ def migrate_compact(
     # retire leavers and boundary-deleted rows: clear alive plus the
     # fields later passes might read through dead rows (cell in range,
     # weight/momentum zero -> inert in push, deposit, energy sums)
-    gt = _rank_table(
-        _cumsum_cols(gone.astype(jnp.int32)[:, None])[:, 0], 2 * cap
-    )
     zero32 = jnp.zeros((2 * cap,), jnp.float32)
     state = dataclasses.replace(
         state,
@@ -473,12 +476,8 @@ def migrate_compact(
         u=state.u.at[gt].set(0.0, mode="drop"),
     )
 
-    # arrivals land in free slots (leaver slots just vacated included)
-    free = ~state.alive
-    ft = _rank_table(
-        _cumsum_cols(free.astype(jnp.int32)[:, None])[:, 0], 2 * cap
-    )
-    n_free = jnp.sum(free.astype(jnp.int32))
+    # arrivals land in free slots (leaver slots just vacated included;
+    # ft/n_free come from the dead_after column of the fused cumsum)
     recv = jnp.concatenate([from_left, from_right])
     rlane = jnp.arange(2 * cap)
     rv = jnp.concatenate([lane < n_arr_l, lane < n_arr_r])
@@ -503,19 +502,38 @@ def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
 
     Uses the same multi-operand payload sort as :func:`migrate_sorted`
     (payloads ride the sort network; argsort + row gather is a
-    latency-bound 2.7x slower on v5e)."""
+    latency-bound 2.7x slower on v5e).
+
+    Columns that the next push recomputes before anything reads them do
+    NOT ride the sort (each payload column costs ~1/14 of the sort):
+    ``prev_x`` (overwritten by the push), ``gamma`` (= sqrt(1+|u|^2),
+    recomputed here in one elementwise pass), and ``chi`` (a pure
+    output of the field gather; zeroed, dead rows are masked wherever
+    chi is read)."""
     dead = ~state.alive
-    fixed = dataclasses.replace(
+    skip = {"prev_x", "gamma", "chi"}
+    reduced = dataclasses.replace(
         state,
         cell=jnp.where(dead, n_loc - 1, state.cell).astype(state.cell.dtype),
+        **{k: None for k in skip if getattr(state, k) is not None},
     )
-    packed = pack_state(fixed, state.x.dtype)
+    packed = pack_state(reduced, state.x.dtype)
     K = packed.shape[1]
-    skey = jnp.where(dead, _BIG, state.cell).astype(jnp.int32)
+    skey = jnp.where(dead, _BIG, reduced.cell).astype(jnp.int32)
     out = lax.sort(
         (skey, *(packed[:, i] for i in range(K))), num_keys=1
     )
-    return unpack_state(jnp.stack(out[1:], axis=1), state)
+    sorted_st = unpack_state(jnp.stack(out[1:], axis=1), reduced)
+    rebuilt = {}
+    if state.prev_x is not None:
+        rebuilt["prev_x"] = sorted_st.x
+    if state.gamma is not None:
+        rebuilt["gamma"] = jnp.sqrt(
+            1.0 + jnp.sum(sorted_st.u * sorted_st.u, axis=1)
+        ).astype(state.gamma.dtype)
+    if state.chi is not None:
+        rebuilt["chi"] = jnp.zeros_like(state.chi)
+    return dataclasses.replace(sorted_st, **rebuilt)
 
 
 def insert(state: ParticleState, buf: ParticleState, valid):

@@ -315,47 +315,6 @@ class Simulation:
                 st.tau - rate_fn(cols["chi"], cols["gh"]) * opt.dt
             ).astype(st.tau.dtype)
 
-        # fallback: compact misfits, run the unfused ops, scatter back
-        mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
-        tk = lambda a, fill: jnp.take(
-            a, mtab, axis=0, mode="fill", fill_value=fill
-        )
-        m_cell = tk(st.cell, 0)
-        m_x = tk(st.x, 0.0)
-        m_u = tk(st.u, 0.0)
-        m_q = tk(macro, 0.0)
-        Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
-        if spec.kind == "electron":
-            res = vay_push(
-                m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
-                tk(st.gamma, 1.0), tk(st.tau, jnp.inf), tk(st.work, 0.0),
-                Ep, Bp, geom.dx, opt.dt,
-                classical_rates=not opt.radiation_reaction,
-            )
-            fb = dict(
-                cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y,
-                z=res.z, u=res.u, gamma=res.gamma, chi=res.chi,
-                tau=res.tau, work=res.work,
-            )
-            vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
-        else:
-            qv = jnp.full_like(m_x, spec.charge)
-            mv = jnp.full_like(m_x, spec.mass)
-            cell_b, x_b, px_b, y_b, z_b, u_b, gm1, _chi = boris_push(
-                m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u, qv, mv,
-                Ep, Bp, geom.dx, opt.dt,
-            )
-            gb = 1.0 + gm1
-            fb = dict(
-                cell=cell_b, x=x_b, prev_x=px_b, y=y_b, z=z_b, u=u_b,
-                gamma=gb,
-            )
-            vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
-        J_add, rho_add = deposit(
-            J_add, rho_add, fb["cell"] + HALO, fb["x"], fb["prev_x"],
-            m_q, vel, geom.dx, opt.dt,
-        )
-        sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
         upd = dict(
             cell=(cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
             x=cols["x"], prev_x=cols["prev_x"], y=cols["y"], z=cols["z"],
@@ -366,8 +325,72 @@ class Simulation:
             upd["tau"] = tau_new
         if st.work is not None:
             upd["work"] = cols["work"]
-        for fname, col in upd.items():
-            upd[fname] = sc(col, fb[fname]) if fname in fb else col
+
+        # fallback: compact misfits, run the unfused ops, scatter back.
+        # The whole pass sits behind a lax.cond on "any misfit at all":
+        # with a healthy resort cadence misfits are zero on nearly every
+        # step, and the fallback chain (compaction searchsorted + ~20
+        # small gather/scatter kernels) costs ~3.4 ms of pure launch
+        # latency at 2.6M rows on v5e when run unconditionally.
+        names = tuple(upd)
+
+        def _skip(ops):
+            upd_t, J_add, rho_add = ops
+            return upd_t, J_add, rho_add, jnp.zeros((), jnp.int32)
+
+        def _fallback(ops):
+            upd_t, J_add, rho_add = ops
+            mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
+            tk = lambda a, fill: jnp.take(
+                a, mtab, axis=0, mode="fill", fill_value=fill
+            )
+            m_cell = tk(st.cell, 0)
+            m_x = tk(st.x, 0.0)
+            m_u = tk(st.u, 0.0)
+            m_q = tk(macro, 0.0)
+            Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
+            if spec.kind == "electron":
+                res = vay_push(
+                    m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
+                    tk(st.gamma, 1.0), tk(st.tau, jnp.inf),
+                    tk(st.work, 0.0), Ep, Bp, geom.dx, opt.dt,
+                    classical_rates=not opt.radiation_reaction,
+                )
+                fb = dict(
+                    cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y,
+                    z=res.z, u=res.u, gamma=res.gamma, chi=res.chi,
+                    tau=res.tau, work=res.work,
+                )
+                vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
+            else:
+                qv = jnp.full_like(m_x, spec.charge)
+                mv = jnp.full_like(m_x, spec.mass)
+                cell_b, x_b, px_b, y_b, z_b, u_b, gm1, _chi = boris_push(
+                    m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u, qv,
+                    mv, Ep, Bp, geom.dx, opt.dt,
+                )
+                gb = 1.0 + gm1
+                fb = dict(
+                    cell=cell_b, x=x_b, prev_x=px_b, y=y_b, z=z_b, u=u_b,
+                    gamma=gb,
+                )
+                vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
+            J2, rho2 = deposit(
+                J_add, rho_add, fb["cell"] + HALO, fb["x"], fb["prev_x"],
+                m_q, vel, geom.dx, opt.dt,
+            )
+            sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
+            out = tuple(
+                sc(u_col, fb[fname]) if fname in fb else u_col
+                for fname, u_col in zip(names, upd_t)
+            )
+            return out, J2, rho2, movf.astype(jnp.int32)
+
+        upd_t, J_add, rho_add, movf = lax.cond(
+            jnp.any(miss), _fallback, _skip,
+            (tuple(upd[k] for k in names), J_add, rho_add),
+        )
+        upd = dict(zip(names, upd_t))
         return dataclasses.replace(st, **upd), J_add, rho_add, movf
 
     def _device_step(self, carry, key, ai):
@@ -405,23 +428,27 @@ class Simulation:
                 # widen by one cell per step (CFL bound)
                 if R == 1:
                     st0 = sort_state(st0, geom.n_loc)
-                else:
-                    st0 = lax.cond(
-                        do_sort,
-                        lambda s: sort_state(s, geom.n_loc),
-                        lambda s: s,
-                        st0,
+                    anch = F.block_anchors(
+                        fspec, st0.cell + HALO + F.PAD, 0
                     )
-                exact = F.block_anchors(
-                    fspec, st0.cell + HALO + F.PAD, 0
-                )
-                if R == 1:
-                    anch = exact
                 else:
-                    anch = jnp.clip(
-                        jnp.where(do_sort, exact, anchors_d[name] - 1),
-                        2, fspec.n_rows - fspec.window - 2,
-                    )
+                    # anchors are only recomputed on sort steps (the
+                    # strided first-row slice is a ~1.4 ms latency-bound
+                    # gather at 2.6M rows); between sorts the carried
+                    # bases widen by one cell per step (CFL bound)
+                    def _sorted(s):
+                        s2 = sort_state(s, geom.n_loc)
+                        return s2, F.block_anchors(
+                            fspec, s2.cell + HALO + F.PAD, 0
+                        )
+
+                    def _carried(s):
+                        return s, jnp.clip(
+                            anchors_d[name] - 1,
+                            2, fspec.n_rows - fspec.window - 2,
+                        )
+
+                    st0, anch = lax.cond(do_sort, _sorted, _carried, st0)
                 new_anchors[name] = anch
                 st, J_add, rho_add, movf = self._fused_push_deposit(
                     name, st0, E_slab, B_slab, anch
