@@ -52,7 +52,7 @@ def main(argv=None):
                              "pipeline)")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
     parser.add_argument("--fused-window", type=int, default=40,
-                        help="window cells per block (default 32: the "
+                        help="window cells per block (default 40: the "
                              "bench plasma drifts 0.01c, so blocks stay "
                              "tight between sorts and the gated misfit "
                              "fallback catches strays; pass 0 for the "
