@@ -51,12 +51,11 @@ def main(argv=None):
                              "(default on; --no-fused for the unfused "
                              "pipeline)")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
-    parser.add_argument("--fused-window", type=int, default=40,
-                        help="window cells per block (default 40: the "
-                             "bench plasma drifts 0.01c, so blocks stay "
-                             "tight between sorts and the gated misfit "
-                             "fallback catches strays; pass 0 for the "
-                             "no-misfit worst-case auto sizing)")
+    parser.add_argument("--fused-window", type=int, default=0,
+                        help="window cells per block (0 = auto: block "
+                             "cell span + dispersion slack; the kernel "
+                             "re-anchors every block every step, so no "
+                             "resort-drift term is needed)")
     parser.add_argument("--fused-block", type=int, default=2048)
     parser.add_argument("--fused-resort", type=int, default=64,
                         help="maintenance-sort cadence (steps)")
@@ -119,9 +118,11 @@ def main(argv=None):
         absorption_candidates=64,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
+        # the kernel re-anchors every block every step (exact fit-row
+        # minima), so the window only needs the block's cell span plus
+        # dispersion slack — NOT the old + 2*(resort-1) drift term
         fused_window=args.fused_window or (
-            -(-(args.fused_block // max(1, npc) + 16
-                + 2 * (args.fused_resort - 1)) // 8) * 8
+            -(-(args.fused_block // max(1, npc) + 16) // 8) * 8
         ),
         fused_block=args.fused_block,
         fused_resort_every=args.fused_resort,

@@ -150,11 +150,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         epc_for_w = max(1, int(input_cfg.read_usize("electrons", "npc")))
     except ConfigError:
         epc_for_w = 1
-    # window: block span + stencil margin + 2 cells drift per step
-    # between maintenance sorts
-    auto_w = _round_up(
-        fused_block // epc_for_w + 16 + 2 * (fused_resort_every - 1), 8
-    )
+    # window: block span + stencil/dispersion margin.  The kernel
+    # re-anchors every block every step from its own fit-row minima, so
+    # no per-step drift term is needed between maintenance sorts.
+    auto_w = _round_up(fused_block // epc_for_w + 16, 8)
     fused_window = int(tpu_opt("fused_window", min(512, max(16, auto_w))))
     # the window read must fit the per-device field table; shrinking it
     # below the block span only costs misfit-fallback work, not

@@ -122,7 +122,7 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
             eb_ref,
             ncell_ref, nx_ref, npx_ref, ny_ref, nz_ref, nux_ref, nuy_ref,
             nuz_ref, ng_ref, nwork_ref, ngh_ref, nchi_ref, miss_ref,
-            out_ref):
+            amin_ref, out_ref):
     W = spec.window
     dt, dx = spec.dt, spec.dx
     C = const.SPEED_OF_LIGHT
@@ -260,6 +260,15 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     ngh_ref[...] = jnp.where(upd, gh, 1.0)
     nchi_ref[...] = jnp.where(upd, chi, 0.0)
     miss_ref[...] = miss.astype(F32)
+    # exact per-block minimum of the post-push cell rows (fit rows
+    # only, so stray arrivals cannot drag a block's window away from
+    # its bulk); feeds the NEXT step's window base — cells move <= 1
+    # cell/step under CFL, so base = min - 4 keeps rel >= 3.  Blocks
+    # with no fit rows report n_rows (clipped by the caller; every row
+    # is then dead or already a misfit).
+    amin_ref[pl.ds(b, 1), :] = jnp.full(
+        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
+    )
 
     # ---- deposit: one-hot batched matmul over the window ------------
     qd = jnp.where(upd, q, 0.0)
@@ -303,9 +312,12 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     (nblocks, i32; already offset so rel = cell - base lands in
     [3, W-4] for sorted particles), and the (n_rows, 8) field table.
 
-    Returns ``(cols, miss, out_slab)`` where cols is a dict of updated
-    columns, ``miss`` a f32 0/1 mask of alive-but-out-of-window rows,
-    and ``out_slab`` the (n_rows, 16) unshifted deposit accumulator.
+    Returns ``(cols, miss, out_slab, anchors_next)`` where cols is a
+    dict of updated columns, ``miss`` a f32 0/1 mask of
+    alive-but-out-of-window rows, ``out_slab`` the (n_rows, 16)
+    unshifted deposit accumulator, and ``anchors_next`` the exact
+    per-block window bases for the next step (post-push fit-row cell
+    minima minus CFL slack, clipped to the table).
     """
     n = cell.shape[0]
     RB = spec.block // 128
@@ -318,11 +330,17 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     out_shapes = (
         [jax.ShapeDtypeStruct(shape2, jnp.int32)]
         + [jax.ShapeDtypeStruct(shape2, F32) for _ in range(12)]
+        + [jax.ShapeDtypeStruct((nblk, 128), jnp.int32)]
         + [jax.ShapeDtypeStruct((spec.n_rows, 16), F32)]
     )
-    out_specs = [pspec() for _ in range(13)] + [
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-    ]
+    out_specs = (
+        [pspec() for _ in range(13)]
+        # full-array VMEM ref, one broadcast row per program: Mosaic
+        # rejects sub-(8,128) blocked outputs, and SMEM pads rows to
+        # 512 B (a (nblk, 1) SMEM output overflows the 1 MB SMEM)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    )
     outs = pl.pallas_call(
         functools.partial(_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -341,7 +359,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         eb_rows,
     )
     (ncell, nx, npx, ny, nz, nux, nuy, nuz, ng, nwork, ngh, nchi, miss,
-     out_slab) = outs
+     amin, out_slab) = outs
     cols = dict(
         cell=ncell.reshape(n), x=nx.reshape(n), prev_x=npx.reshape(n),
         y=ny.reshape(n), z=nz.reshape(n),
@@ -349,7 +367,10 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         gamma=ng.reshape(n), work=nwork.reshape(n), gh=ngh.reshape(n),
         chi=nchi.reshape(n),
     )
-    return cols, miss.reshape(n), out_slab
+    anchors_next = jnp.clip(
+        amin[:, 0] - 4, 2, spec.n_rows - spec.window - 2
+    ).astype(jnp.int32)
+    return cols, miss.reshape(n), out_slab, anchors_next
 
 
 def make_eb_rows(E_slab, B_slab):

@@ -274,7 +274,12 @@ class Simulation:
         rows, and fold_currents adds them to the neighbour exactly as
         the reference's overlay of ghost currents (yee.rs:97-113).
 
-        Returns (state, J_add, rho_add, misfit_overflow)."""
+        Returns (state, J_add, rho_add, misfit_overflow,
+        anchors_next) — the last being the kernel's exact per-block
+        window bases for the NEXT step (min of post-push fit-row cells
+        minus slack), which replace the old pessimistic carried-anchor
+        decrement and let the window track the block instead of
+        widening with the resort cadence."""
         from .ops import fused as F
 
         opt, geom = self.options, self.geom
@@ -286,7 +291,7 @@ class Simulation:
         )
         zero = jnp.zeros_like(st.x)
         rows = st.cell + HALO + F.PAD
-        cols, miss, out_slab = F.fused_push_deposit(
+        cols, miss, out_slab, anchors_next = F.fused_push_deposit(
             fspec, anchors, rows, st.x, st.y, st.z,
             st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
             st.work if st.work is not None else zero, eb,
@@ -391,7 +396,10 @@ class Simulation:
             (tuple(upd[k] for k in names), J_add, rho_add),
         )
         upd = dict(zip(names, upd_t))
-        return dataclasses.replace(st, **upd), J_add, rho_add, movf
+        return (
+            dataclasses.replace(st, **upd), J_add, rho_add, movf,
+            anchors_next,
+        )
 
     def _device_step(self, carry, key, ai):
         from .ops import fused as F
@@ -441,10 +449,14 @@ class Simulation:
                         fspec, st0.cell + HALO + F.PAD, 0
                     )
                 else:
-                    # anchors are only recomputed on sort steps (the
-                    # strided first-row slice is a ~1.4 ms latency-bound
-                    # gather at 2.6M rows); between sorts the carried
-                    # bases widen by one cell per step (CFL bound)
+                    # anchors are recomputed from a first-row slice
+                    # only on sort steps; in between, the kernel's own
+                    # per-block fit-row minimum from the PREVIOUS step
+                    # (carried in aux) is exact — cells move <= 1
+                    # cell/step, and the kernel subtracts the slack —
+                    # so windows track the blocks instead of widening
+                    # by one cell per step as the old pessimistic
+                    # decrement did (which forced W >= span + 2R)
                     def _sorted(s):
                         s2 = sort_state(s, geom.n_loc)
                         return s2, F.block_anchors(
@@ -452,16 +464,15 @@ class Simulation:
                         )
 
                     def _carried(s):
-                        return s, jnp.clip(
-                            anchors_d[name] - 1,
-                            2, fspec.n_rows - fspec.window - 2,
-                        )
+                        return s, anchors_d[name]
 
                     st0, anch = lax.cond(do_sort, _sorted, _carried, st0)
-                new_anchors[name] = anch
-                st, J_add, rho_add, movf = self._fused_push_deposit(
-                    name, st0, E_slab, B_slab, anch
+                st, J_add, rho_add, movf, anch_next = (
+                    self._fused_push_deposit(
+                        name, st0, E_slab, B_slab, anch
+                    )
                 )
+                new_anchors[name] = anch_next
                 fused_dep[name] = (J_add, rho_add)
                 counters = {
                     **counters, name: counters[name] + halo.psum(movf, "x")

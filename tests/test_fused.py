@@ -88,7 +88,20 @@ def _assert_close(a, b, rtol, name):
 def test_fused_matches_unfused():
     emission_on = True
     spec, cells, x, u, g, q, work, tau, E, B, dx, dt, _ = _setup()
-    cols, miss, out_slab = _run_fused(spec, cells, x, u, g, q, work, tau, E, B)
+    cols, miss, out_slab, anch_next = _run_fused(
+        spec, cells, x, u, g, q, work, tau, E, B
+    )
+    # the kernel-emitted next-step anchors are the per-block fit-row
+    # cell minima minus the CFL slack (clipped to the table)
+    live_cells = np.asarray(cols["cell"]).reshape(-1, spec.block)
+    live = (q != 0.0).reshape(-1, spec.block)
+    expect = np.where(
+        live.any(axis=1),
+        np.where(live, live_cells, np.iinfo(np.int32).max).min(axis=1) - 4,
+        spec.n_rows,
+    )
+    expect = np.clip(expect, 2, spec.n_rows - spec.window - 2)
+    np.testing.assert_array_equal(np.asarray(anch_next), expect)
     res, Jref, rref = _run_unfused(
         spec, cells, x, u, g, q, work, tau, E, B, emission_on
     )
@@ -137,7 +150,9 @@ def test_fused_misfits_flagged_and_untouched():
         strays=40, seed=3
     )
     # only count strays that are alive and actually left their window
-    cols, miss, out_slab = _run_fused(spec, cells, x, u, g, q, work, tau, E, B)
+    cols, miss, out_slab, _anch = _run_fused(
+        spec, cells, x, u, g, q, work, tau, E, B
+    )
     miss = np.asarray(miss) > 0.5
     assert miss.sum() > 0
     assert set(np.flatnonzero(miss)) <= set(strays)
