@@ -112,20 +112,23 @@ class SimOptions:
     fused_block: int = 2048
     fused_window: int = 32
     fused_misfit_capacity: int = 4096
-    # resort cadence: the fused kernel's block windows come from a
-    # periodic LOCAL payload re-sort (migrate.sort_state) instead of
-    # per-step sorted migration; between sorts the carried window bases
-    # widen by one cell per step (CFL) and fresh arrivals fall back to
-    # the misfit path.  1 = re-sort every step.  The window must cover
-    # the block span plus 2*(R-1) cells of drift.
+    # resort cadence R: a LOCAL payload re-sort (migrate.sort_state)
+    # opens every R-step period as a statically scheduled phase (no
+    # per-step cond); between sorts the kernel re-anchors each block
+    # every step from its own fit-row minima, so the window only needs
+    # the block's cell span plus dispersion slack.  Fresh migration
+    # arrivals that land outside their block's window fall back to the
+    # misfit path until the next sort.  1 = re-sort inside every step.
     fused_resort_every: int = 1
-    # migration cadence: with HALO=4 ghost cells a particle may roam
-    # up to 2 cells past its subdomain before field gathers or deposits
+    # migration cadence M: with HALO=4 ghost cells a particle may roam
+    # a few cells past its subdomain before field gathers or deposits
     # leave the slab (ghost fields are refreshed and ghost currents
     # folded every step, so the physics is exchange-order independent).
-    # The exchange itself then only needs to run every M <= 3 steps.
-    # Forced to 1 when QED interactions are on (absorption buckets by
-    # in-domain cell).
+    # The exchange then runs as a statically scheduled phase closing
+    # every M-step block (M <= 3); with M == 1 it instead stays inline
+    # in the step, before the QED passes (reference order).  Forced to
+    # 1 when QED interactions are on (absorption buckets by in-domain
+    # cell).
     migration_every: int = 1
     # 'compact' (leaver-count-proportional index tables; ~2 ms) or
     # 'full' (stable-argsort compaction of the whole state; ~17 ms at
@@ -401,26 +404,14 @@ class Simulation:
             anchors_next,
         )
 
-    def _device_step(self, carry, key, ai):
-        from .ops import fused as F
-        from .parallel.migrate import sort_state
-
-        geom, opt = self.geom, self.options
-        E, B, _J_prev, _rho_prev, species, t, counters, events, aux = carry
-        counter, anchors_d = aux
-
-        E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
-
-        # 1-2: push + migrate, species by species (reference order:
-        # electrons, ions, photons — main.rs:240-244)
-        from .parallel.migrate import migrate_compact
-
-        mig_plain = (
-            migrate_compact if opt.migration_method == "compact" else migrate
-        )
-        mig = migrate_sorted if opt.sorted_pipeline else mig_plain
-        R = max(1, opt.fused_resort_every)
-        do_sort = (counter % R) == 0
+    def _cadences(self, species):
+        """Trace-time (M, R): migration-exchange and maintenance-sort
+        cadences in steps.  Both are STATIC — the run schedule nests
+        scans around them instead of wrapping per-step ``lax.cond``s
+        (each cond forced the whole particle state through conditional
+        buffers: measured 12.7 ms/step of pure copy overhead at 8.4M
+        particles on v5e, more than the kernel itself)."""
+        opt = self.options
         M = max(1, min(opt.migration_every, HALO - 1))
         if opt.current_deposition and any(
             self.specs[n].charge != 0.0
@@ -429,44 +420,99 @@ class Simulation:
         ):
             # the unfused deposit's -2 tap wraps the slab for particles
             # 3+ cells out of domain (fused deposition has PAD rows of
-            # margin), so skipped-exchange drift must stay <= HALO - 2
-            M = min(M, HALO - 2)
+            # margin); with the exchange at migration-block end the
+            # deposit can see M cells of drift, so M <= HALO - 3
+            M = min(M, HALO - 3)
         if opt.photon_emission or opt.photon_absorption:
             M = 1  # absorption pairing needs in-domain cells
-        do_mig = (counter % M) == (M - 1)
+        R = max(1, opt.fused_resort_every)
+        return M, R
+
+    def _mig_fns(self):
+        from .parallel.migrate import migrate_compact
+
+        mig_plain = (
+            migrate_compact
+            if self.options.migration_method == "compact" else migrate
+        )
+        mig = (
+            migrate_sorted if self.options.sorted_pipeline else mig_plain
+        )
+        return mig_plain, mig
+
+    def _sort_phase(self, carry, ai):
+        """Maintenance sort of every fused species + fresh exact block
+        anchors.  Runs once per sort period (statically scheduled)."""
+        from .ops import fused as F
+        from .parallel.migrate import sort_state
+
+        geom = self.geom
+        E, B, J, rho, species, t, counters, events, anchors_d = carry
+        new_anchors = dict(anchors_d)
+        for name in self.specs:
+            if self._fused_applicable(name, species[name]):
+                fspec = self._fused_spec(name)
+                st = sort_state(species[name], geom.n_loc)
+                new_anchors[name] = F.block_anchors(
+                    fspec, st.cell + HALO + F.PAD, 0
+                )
+                species = {**species, name: st}
+        return (E, B, J, rho, species, t, counters, events, new_anchors)
+
+    def _migrate_phase(self, carry, ai):
+        """Exchange leavers of every species over the ring.  Runs at
+        the end of each M-step migration block (statically scheduled;
+        with M == 1 migration instead stays inline in the step, before
+        the QED passes, matching the reference order)."""
+        geom, opt = self.geom, self.options
+        E, B, J, rho, species, t, counters, events, anchors_d = carry
+        mig_plain, mig = self._mig_fns()
+        for name in self.specs:
+            sp_mig = (
+                mig_plain
+                if self._fused_applicable(name, species[name]) else mig
+            )
+            st, ovf = sp_mig(
+                species[name], geom, "x", ai, opt.migration_capacity
+            )
+            counters = {
+                **counters, name: counters[name] + halo.psum(ovf, "x")
+            }
+            species = {**species, name: st}
+        return (E, B, J, rho, species, t, counters, events, anchors_d)
+
+    def _device_step(self, carry, key, ai, inline_sort, inline_migrate):
+        from .ops import fused as F
+        from .parallel.migrate import sort_state
+
+        geom, opt = self.geom, self.options
+        E, B, _J_prev, _rho_prev, species, t, counters, events, anchors_d = (
+            carry
+        )
+
+        E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
+
+        # 1-2: push (+ inline migrate when M == 1), species by species
+        # (reference order: electrons, ions, photons — main.rs:240-244)
+        mig_plain, mig = self._mig_fns()
         fused_dep = {}
-        new_anchors = {}
+        new_anchors = dict(anchors_d)
         for name in self.specs:
             if self._fused_applicable(name, species[name]):
                 fspec = self._fused_spec(name)
                 st0 = species[name]
-                # resort cadence: periodic LOCAL payload sort restores
-                # tight block windows; in between, the carried bases
-                # widen by one cell per step (CFL bound)
-                if R == 1:
+                if inline_sort:
+                    # R == 1: re-sort every step
                     st0 = sort_state(st0, geom.n_loc)
                     anch = F.block_anchors(
                         fspec, st0.cell + HALO + F.PAD, 0
                     )
                 else:
-                    # anchors are recomputed from a first-row slice
-                    # only on sort steps; in between, the kernel's own
-                    # per-block fit-row minimum from the PREVIOUS step
-                    # (carried in aux) is exact — cells move <= 1
-                    # cell/step, and the kernel subtracts the slack —
-                    # so windows track the blocks instead of widening
-                    # by one cell per step as the old pessimistic
-                    # decrement did (which forced W >= span + 2R)
-                    def _sorted(s):
-                        s2 = sort_state(s, geom.n_loc)
-                        return s2, F.block_anchors(
-                            fspec, s2.cell + HALO + F.PAD, 0
-                        )
-
-                    def _carried(s):
-                        return s, anchors_d[name]
-
-                    st0, anch = lax.cond(do_sort, _sorted, _carried, st0)
+                    # between the statically scheduled sort phases the
+                    # kernel's own per-block fit-row minimum from the
+                    # PREVIOUS step is exact (cells move <= 1
+                    # cell/step and the kernel subtracts the slack)
+                    anch = anchors_d[name]
                 st, J_add, rho_add, movf, anch_next = (
                     self._fused_push_deposit(
                         name, st0, E_slab, B_slab, anch
@@ -477,34 +523,20 @@ class Simulation:
                 counters = {
                     **counters, name: counters[name] + halo.psum(movf, "x")
                 }
-                # the cadence replaces sorted migration for this species
                 sp_mig = mig_plain
             else:
                 st = self._push_species(
                     name, species[name], E_slab, B_slab, t
                 )
                 sp_mig = mig
-            if opt.migration:
-                if M == 1:
-                    st, ovf = sp_mig(
-                        st, geom, "x", ai, opt.migration_capacity
-                    )
-                else:
-                    def _mig(s):
-                        out, o = sp_mig(
-                            s, geom, "x", ai, opt.migration_capacity
-                        )
-                        return out, o.astype(jnp.int32)
-
-                    st, ovf = lax.cond(
-                        do_mig, _mig,
-                        lambda s: (s, jnp.zeros((), jnp.int32)), st,
-                    )
+            if opt.migration and inline_migrate:
+                st, ovf = sp_mig(
+                    st, geom, "x", ai, opt.migration_capacity
+                )
                 counters = {
                     **counters, name: counters[name] + halo.psum(ovf, "x")
                 }
             species = {**species, name: st}
-        aux = (counter + 1, new_anchors)
 
         # 3-4: QED interactions
         if opt.photon_absorption:
@@ -554,7 +586,8 @@ class Simulation:
                 opt.sorted_pipeline
                 and opt.migration
                 and opt.deposit_method == "sorted"
-                and M == 1  # skipped exchanges leave cells +-1 unsorted
+                # skipped exchanges leave cells +-1 unsorted
+                and inline_migrate
             )
             for name, spec in self.specs.items():
                 if spec.charge == 0.0 or name in fused_dep:
@@ -590,36 +623,99 @@ class Simulation:
         E = E_slab[HALO:-HALO]
         B = B_slab[HALO:-HALO]
 
-        return (E, B, J, rho, species, t + opt.dt, counters, events, aux), None
+        return (
+            E, B, J, rho, species, t + opt.dt, counters, events,
+            new_anchors,
+        ), None
 
     def _init_fused_aux(self, species):
-        """Scan-carried fused-kernel state: (step counter, per-species
-        block window bases).  Bases start as placeholders — the cadence
-        re-sorts and recomputes them on the first step of every run."""
+        """Scan-carried per-species block window bases.  Bases start as
+        placeholders — the statically scheduled sort phase recomputes
+        them before the first fused step of every run."""
         anchors = {}
         for name in self.specs:
             st = species[name]
             if self._fused_applicable(name, st):
                 nblk = st.x.shape[0] // self.options.fused_block
                 anchors[name] = jnp.full((nblk,), 2, jnp.int32)
-        return (jnp.int32(0), anchors)
+        return anchors
 
     def _build_run(self):
         log = self._event_log
 
         def device_fn(E, B, J, rho, species, t0, key, counters, events, nsteps):
             ai = lax.axis_index("x")
+            opt = self.options
+            M, R = self._cadences(species)
+            any_fused = any(
+                self._fused_applicable(n, species[n]) for n in self.specs
+            )
+            # static schedule (see _cadences): per-step conds replaced
+            # by nested scans.  inline_migrate keeps the exchange
+            # inside the step (before the QED passes) when it must run
+            # every step; otherwise a migrate phase closes each M-step
+            # block.  The maintenance sort opens each R-step period.
+            inline_migrate = not opt.migration or M == 1
+            inline_sort = any_fused and R == 1
+            sort_phase = any_fused and R > 1
 
-            def body(carry, step_key):
-                return self._device_step(carry, step_key, ai)
+            def step(carry, step_key):
+                return self._device_step(
+                    carry, step_key, ai, inline_sort, inline_migrate
+                )
+
+            def run_steps(carry, keys):
+                # keys: (k, ...) -> k steps (k static)
+                if keys.shape[0] == 0:
+                    return carry
+                carry, _ = lax.scan(step, carry, keys)
+                return carry
+
+            def run_block(carry, keys):
+                # one migration block: M steps then the exchange
+                carry = run_steps(carry, keys)
+                if not inline_migrate:
+                    carry = self._migrate_phase(carry, ai)
+                return carry
+
+            def run_blocks(carry, keys):
+                # keys: (nb * Mb,) -> nb blocks + a partial tail block
+                Mb = 1 if inline_migrate else M
+                nb = keys.shape[0] // Mb
+                if nb and inline_migrate:
+                    carry = run_steps(carry, keys[: nb * Mb])
+                elif nb:
+                    body = lambda c, k: (run_block(c, k), None)
+                    carry, _ = lax.scan(
+                        body, carry, keys[: nb * Mb].reshape(nb, Mb)
+                    )
+                if keys.shape[0] % Mb:
+                    carry = run_block(carry, keys[nb * Mb:])
+                return carry
 
             keys = jax.random.split(key, nsteps)
-            aux = self._init_fused_aux(species)
-            carry, _ = lax.scan(
-                body, (E, B, J, rho, species, t0, counters, events, aux),
-                keys,
-            )
-            carry = carry[:-1]  # drop the internal fused aux leg
+            anchors = self._init_fused_aux(species)
+            carry = (E, B, J, rho, species, t0, counters, events, anchors)
+            if not sort_phase:
+                carry = run_blocks(carry, keys)
+            else:
+                Mb = 1 if inline_migrate else M
+                R_eff = max(Mb, (R // Mb) * Mb)
+                n_per = nsteps // R_eff
+
+                def period(carry, pkeys):
+                    carry = self._sort_phase(carry, ai)
+                    return run_blocks(carry, pkeys), None
+
+                if n_per:
+                    carry, _ = lax.scan(
+                        period, carry,
+                        keys[: n_per * R_eff].reshape(n_per, R_eff),
+                    )
+                if nsteps % R_eff:
+                    carry = self._sort_phase(carry, ai)
+                    carry = run_blocks(carry, keys[n_per * R_eff:])
+            carry = carry[:-1]  # drop the internal anchors leg
             if not log:
                 carry = carry[:-1]  # drop the unused events leg
             return carry
