@@ -569,3 +569,214 @@ def insert(state: ParticleState, buf: ParticleState, valid):
     state = tree_util.tree_map_with_path(put, state, buf)
     overflow = jnp.sum(valid) - jnp.sum(ok)
     return state, overflow
+
+
+def _window_rows(a, K, t0):
+    """Rows [0:K] + [t0:t0+K] of a column, as (2K, w).  ``t0`` is the
+    (traced) tail-window start — anchored just below the alive/dead
+    boundary, NOT the array end: the dead pool above the top alive
+    rows can far exceed K."""
+    w = 1 if a.ndim == 1 else int(np.prod(a.shape[1:]))
+    z = (jnp.zeros((), t0.dtype),) * (a.ndim - 1)
+    tail = lax.dynamic_slice(a, (t0,) + z, (K,) + a.shape[1:])
+    return jnp.concatenate([a[:K].reshape(K, w), tail.reshape(K, w)])
+
+
+def migrate_edges(
+    state: ParticleState,
+    geom: GridGeometry,
+    axis_name: str,
+    axis_index,
+    send_capacity: int,
+    window: int,
+):
+    """Migration for a cell-sorted state: every leaver, every freed
+    slot and the dead pool live in the head/tail ``window`` rows, so
+    the entire exchange — masks, cumulative-sum index tables, packing,
+    retirement, insertion — is O(window), and the write-back is two
+    contiguous dynamic-slice updates per column.  The full-length
+    variants (:func:`migrate_compact`) pay several full-array passes
+    (leaver cumsum, retire/insert scatters): ~8 ms per exchange at
+    8.4M rows on v5e vs well under 1 ms here.
+
+    Sortedness contract (maintained by the fused pipeline): candidates
+    to leave sit within ``window`` rows of the array ends, and
+    ``sort_state`` keeps the dead pool at the tail.  Left arrivals are
+    inserted into the lowest free slots (the slots left-leavers just
+    vacated — their blocks cover the entry cells, so arrivals usually
+    fit their kernel window immediately), right arrivals into the
+    highest (vacated right-leaver slots, then the dead pool).  A cheap
+    full-length reduction counts any leaver OUTSIDE the windows into
+    the overflow counter rather than exchanging it (with a sane window
+    this never fires; the count keeps it loud, never silent).
+
+    Reference: sort + splice + ssend/recv (src/particle/mod.rs:284-375).
+    """
+    from ..ops.deposit import _cumsum_cols
+
+    n_loc, ndev = geom.n_loc, geom.n_devices
+    periodic = geom.left_boundary == "periodic"
+    n = state.alive.shape[0]
+    K = int(min(window, n // 2))
+    cap = int(min(send_capacity, K // 2))
+    fdtype = state.x.dtype
+
+    # tail window: centred on the alive/dead boundary (sorted states
+    # keep dead rows at the tail, so the top alive rows — the
+    # right-leaver candidates — sit just below row sum(alive); edge
+    # retire/insert punches local holes, which the window slack and
+    # the out-of-window insurance count absorb).  Clamped to [K, n-K]
+    # so the two windows never overlap.
+    t0 = jnp.clip(
+        jnp.sum(state.alive.astype(jnp.int32)) - K // 2, K, n - K
+    ).astype(jnp.int32)
+
+    alive_w = _window_rows(state.alive, K, t0)[:, 0]
+    cell_w = _window_rows(state.cell, K, t0)[:, 0]
+    go_left = alive_w & (cell_w < 0)
+    go_right = alive_w & (cell_w >= n_loc)
+    if not periodic:
+        g = axis_index * n_loc + cell_w
+        out_left = g < geom.interior_start
+        out_right = g >= geom.interior_end
+        deleted = alive_w & (out_left | out_right)
+        go_left = go_left & ~out_left & ~out_right
+        go_right = go_right & ~out_left & ~out_right
+    else:
+        deleted = jnp.zeros_like(alive_w)
+    gone = go_left | go_right | deleted
+    free_after = ~alive_w | gone
+
+    # insurance: leavers outside the windows are not exchanged — count
+    # them (one fused full-length reduction)
+    tot_l = jnp.sum(state.alive & (state.cell < 0))
+    tot_r = jnp.sum(state.alive & (state.cell >= n_loc))
+    missed = (
+        (tot_l - jnp.sum(go_left)) + (tot_r - jnp.sum(go_right))
+        if periodic else
+        (tot_l + tot_r) - jnp.sum(go_left | go_right | deleted)
+    )
+
+    m4 = jnp.stack([go_left, go_right, gone, free_after], axis=1).astype(
+        jnp.int32
+    )
+    cum = jnp.cumsum(m4, axis=0)
+    n_left = cum[-1, 0]
+    n_right = cum[-1, 1]
+    nf = cum[-1, 3]
+
+    q = jnp.arange(1, 2 * cap + 1, dtype=cum.dtype)
+    tabs = jax.vmap(jnp.searchsorted, in_axes=(1, None))(cum, q).astype(
+        jnp.int32
+    )
+    lt = tabs[0, :cap]
+    rt = tabs[1, :cap]
+    gt = tabs[2]
+    ft_lo = tabs[3, :cap]
+    # highest free rows: free-ranks nf-cap+1 .. nf (clipped at 1)
+    q_hi = jnp.maximum(nf - cap + 1 + jnp.arange(cap, dtype=cum.dtype), 1)
+    ft_hi = jnp.searchsorted(cum[:, 3], q_hi).astype(jnp.int32)
+
+    lane = jnp.arange(cap)
+    lvalid = lane < n_left
+    rvalid = lane < n_right
+    overflow = (
+        jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
+        + missed
+    )
+
+    W = pack_state_window(state, K, t0, fdtype)
+    cell_col = _column_index(state, "cell")
+    send_left = jnp.take(W, lt, axis=0, mode="fill", fill_value=0.0)
+    send_left = send_left.at[:, cell_col].add(float(n_loc))
+    send_right = jnp.take(W, rt, axis=0, mode="fill", fill_value=0.0)
+    send_right = send_right.at[:, cell_col].add(-float(n_loc))
+
+    perm_to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    perm_to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+    n_arr_l = lax.ppermute(
+        jnp.minimum(n_right, cap), axis_name, perm_to_right
+    )
+    n_arr_r = lax.ppermute(jnp.minimum(n_left, cap), axis_name, perm_to_left)
+    from_right = lax.ppermute(send_left, axis_name, perm_to_left)
+    from_left = lax.ppermute(send_right, axis_name, perm_to_right)
+
+    # retire leavers/deleted: zero the row (alive 0, weight 0,
+    # momentum 0, cell 0 — in range, inert everywhere) EXCEPT gamma,
+    # which stays 1 — dead rows still flow through u/gamma divisions
+    # (unfused velocity, kernel reads) and 0/0 would seed NaNs that
+    # survive multiplication by the zero weight
+    retire_row = jnp.zeros((W.shape[1],), fdtype).at[
+        _column_index(state, "gamma")
+    ].set(1.0)
+    W = W.at[gt].set(retire_row, mode="drop")
+
+    # insert: left arrivals take the lowest free slots, right arrivals
+    # the highest (freed right-leaver slots, then the tail dead pool);
+    # when both sides together exceed the free count, the right side
+    # keeps its slots and excess left arrivals are dropped + counted
+    vl = lane < n_arr_l
+    vr = lane < n_arr_r
+    n_r_used = jnp.minimum(n_arr_r, nf)
+    ok_r = vr & (lane < n_r_used)
+    ok_l = vl & (lane < nf - n_r_used)
+    dest_l = jnp.where(ok_l, jnp.take(ft_lo, lane, mode="clip"), 2 * K)
+    # right arrival r takes free-rank nf - r  <->  ft_hi[cap - 1 - r]
+    dest_r = jnp.where(
+        ok_r, jnp.take(ft_hi, cap - 1 - lane, mode="clip"), 2 * K
+    )
+    W = W.at[dest_l].set(
+        jnp.where(ok_l[:, None], from_left, 0.0), mode="drop"
+    )
+    W = W.at[dest_r].set(
+        jnp.where(ok_r[:, None], from_right, 0.0), mode="drop"
+    )
+    ins_overflow = (
+        jnp.sum(vl.astype(jnp.int32)) + jnp.sum(vr.astype(jnp.int32))
+        - jnp.sum(ok_l.astype(jnp.int32)) - jnp.sum(ok_r.astype(jnp.int32))
+    )
+
+    return (
+        unpack_state_window(W, state, K, t0),
+        overflow + ins_overflow,
+    )
+
+
+def pack_state_window(
+    state: ParticleState, K: int, t0, dtype
+) -> jnp.ndarray:
+    """(2K, C) packed matrix of the head/tail windows (column layout of
+    :func:`pack_state`)."""
+    pieces = []
+    for name, w, _, _ in _layout(state):
+        pieces.append(
+            _window_rows(getattr(state, name), K, t0).astype(dtype)
+        )
+    return jnp.concatenate(pieces, axis=1)
+
+
+def unpack_state_window(
+    W: jnp.ndarray, state: ParticleState, K: int, t0
+) -> ParticleState:
+    """Write the packed windows back into ``state`` via two contiguous
+    dynamic-slice updates per column."""
+    fields = {}
+    i = 0
+    for name, w, dt, tail in _layout(state):
+        a = getattr(state, name)
+        sl = W[:, i : i + w]
+        v = sl.reshape((2 * K,) + tail) if tail else sl[:, 0]
+        if dt == jnp.bool_:
+            v = v > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            v = jnp.round(v).astype(dt)
+        else:
+            v = v.astype(dt)
+        zeros = (jnp.zeros((), t0.dtype),) * (a.ndim - 1)
+        a = lax.dynamic_update_slice(
+            a, v[:K], (jnp.zeros((), t0.dtype),) + zeros
+        )
+        a = lax.dynamic_update_slice(a, v[K:], (t0,) + zeros)
+        fields[name] = a
+        i += w
+    return dataclasses.replace(state, **fields)

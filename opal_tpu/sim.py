@@ -134,6 +134,17 @@ class SimOptions:
     # 'full' (stable-argsort compaction of the whole state; ~17 ms at
     # 2.6M rows) — same exchange semantics
     migration_method: str = "compact"
+    # fused/sorted species instead use the O(window) edge exchange
+    # (migrate_edges): leavers and free slots of a cell-sorted state
+    # all live in the head/tail rows, so nothing full-length is
+    # touched.  The window must cover the rows of the two boundary
+    # cells plus drift (~2-4x particles-per-cell); leavers outside it
+    # are counted into the overflow counter, never silently kept.
+    migration_window: int = 16384
+    # debug/profiling ONLY: skip the misfit fallback pass entirely
+    # (misfit rows are then neither pushed nor deposited — wrong
+    # physics; used by tools/phase_bench.py to attribute step time)
+    debug_skip_misfit: bool = False
 
 
 class Simulation:
@@ -334,17 +345,16 @@ class Simulation:
         if st.work is not None:
             upd["work"] = cols["work"]
 
-        # fallback: compact misfits, run the unfused ops, scatter back.
-        # The whole pass sits behind a lax.cond on "any misfit at all":
-        # with a healthy resort cadence misfits are zero on nearly every
-        # step, and the fallback chain (compaction searchsorted + ~20
-        # small gather/scatter kernels) costs ~3.4 ms of pure launch
-        # latency at 2.6M rows on v5e when run unconditionally.
+        # fallback: compact misfits, run the unfused ops on the (small)
+        # compacted rows, scatter back.  Runs UNCONDITIONALLY: when no
+        # misfits exist every index table entry lands past the array
+        # (fill/drop modes make the gathers inert and the scatters
+        # no-ops), and the whole chain is sized by fused_misfit_capacity
+        # except one blocked cumsum.  Wrapping it in lax.cond instead
+        # forced all 13 particle columns through conditional buffers:
+        # measured 7.4 ms/step of copy overhead at 8.4M rows on v5e —
+        # several times the cost of just running the fallback.
         names = tuple(upd)
-
-        def _skip(ops):
-            upd_t, J_add, rho_add = ops
-            return upd_t, J_add, rho_add, jnp.zeros((), jnp.int32)
 
         def _fallback(ops):
             upd_t, J_add, rho_add = ops
@@ -394,11 +404,13 @@ class Simulation:
             )
             return out, J2, rho2, movf.astype(jnp.int32)
 
-        upd_t, J_add, rho_add, movf = lax.cond(
-            jnp.any(miss), _fallback, _skip,
-            (tuple(upd[k] for k in names), J_add, rho_add),
-        )
-        upd = dict(zip(names, upd_t))
+        if opt.debug_skip_misfit:
+            movf = jnp.zeros((), jnp.int32)
+        else:
+            upd_t, J_add, rho_add, movf = _fallback(
+                (tuple(upd[k] for k in names), J_add, rho_add)
+            )
+            upd = dict(zip(names, upd_t))
         return (
             dataclasses.replace(st, **upd), J_add, rho_add, movf,
             anchors_next,
@@ -429,16 +441,24 @@ class Simulation:
         return M, R
 
     def _mig_fns(self):
-        from .parallel.migrate import migrate_compact
+        """(fused-species, other-species) migration functions.  Fused
+        species stay cell-sorted, so they take the O(window) edge
+        exchange; everything else uses the full-state variants."""
+        from .parallel.migrate import migrate_compact, migrate_edges
+
+        opt = self.options
+
+        def mig_fused(st, geom, axis_name, ai, cap):
+            return migrate_edges(
+                st, geom, axis_name, ai, cap, opt.migration_window
+            )
 
         mig_plain = (
             migrate_compact
-            if self.options.migration_method == "compact" else migrate
+            if opt.migration_method == "compact" else migrate
         )
-        mig = (
-            migrate_sorted if self.options.sorted_pipeline else mig_plain
-        )
-        return mig_plain, mig
+        mig = migrate_sorted if opt.sorted_pipeline else mig_plain
+        return mig_fused, mig
 
     def _sort_phase(self, carry, ai):
         """Maintenance sort of every fused species + fresh exact block
@@ -466,10 +486,10 @@ class Simulation:
         the QED passes, matching the reference order)."""
         geom, opt = self.geom, self.options
         E, B, J, rho, species, t, counters, events, anchors_d = carry
-        mig_plain, mig = self._mig_fns()
+        mig_fused, mig = self._mig_fns()
         for name in self.specs:
             sp_mig = (
-                mig_plain
+                mig_fused
                 if self._fused_applicable(name, species[name]) else mig
             )
             st, ovf = sp_mig(
@@ -494,7 +514,7 @@ class Simulation:
 
         # 1-2: push (+ inline migrate when M == 1), species by species
         # (reference order: electrons, ions, photons — main.rs:240-244)
-        mig_plain, mig = self._mig_fns()
+        mig_fused, mig = self._mig_fns()
         fused_dep = {}
         new_anchors = dict(anchors_d)
         for name in self.specs:
@@ -523,7 +543,7 @@ class Simulation:
                 counters = {
                     **counters, name: counters[name] + halo.psum(movf, "x")
                 }
-                sp_mig = mig_plain
+                sp_mig = mig_fused
             else:
                 st = self._push_species(
                     name, species[name], E_slab, B_slab, t

@@ -210,3 +210,117 @@ def test_sorted_preserves_particle_count_periodic():
     n0 = int(jnp.sum(state.alive))
     out, ovf = _run(migrate_sorted, state, geom, 64)
     assert int(jnp.sum(out.alive)) + int(ovf) == n0
+
+
+def _sorted_state(geom, cap_per_dev, n_alive_per_dev, seed):
+    """Cell-SORTED per-device state (alive rows ascending by cell, dead
+    pool at the tail) with leavers at both edges — the layout
+    migrate_edges is contracted to (fused pipeline + sort_state)."""
+    rng = np.random.default_rng(seed)
+    ndev = geom.n_devices
+    f = _empty_fields(SpeciesSpec.electron(), ndev * cap_per_dev, np.float64)
+    for d in range(ndev):
+        cells = np.sort(rng.integers(0, geom.n_loc, n_alive_per_dev))
+        k = max(1, n_alive_per_dev // 10)
+        cells[:k] = -1          # left leavers at the head
+        cells[-k:] = geom.n_loc  # right leavers at the alive tail
+        sl = slice(d * cap_per_dev, d * cap_per_dev + n_alive_per_dev)
+        f["alive"][sl] = True
+        f["cell"][sl] = cells
+        f["x"][sl] = rng.random(n_alive_per_dev)
+        f["prev_x"][sl] = rng.random(n_alive_per_dev)
+        f["weight"][sl] = 1.0 + rng.random(n_alive_per_dev)
+        f["u"][sl] = rng.normal(size=(n_alive_per_dev, 3))
+        f["gamma"][sl] = np.sqrt(1.0 + np.sum(f["u"][sl] ** 2, axis=1))
+        f["tau"][sl] = rng.exponential(size=n_alive_per_dev)
+        f["work"][sl] = rng.normal(size=n_alive_per_dev)
+        # dead tail keeps an in-range placeholder cell (sort_state
+        # contract)
+        tail = slice(d * cap_per_dev + n_alive_per_dev,
+                     (d + 1) * cap_per_dev)
+        f["cell"][tail] = geom.n_loc - 1
+    return ParticleState(**{
+        k: (None if v is None else jnp.asarray(v)) for k, v in f.items()
+    })
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_edges_matches_compact_content(ndev):
+    from opal_tpu.parallel.migrate import migrate_edges
+
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _sorted_state(geom, cap, 200, seed=5)
+
+    edges = partial(migrate_edges, window=64)
+    out_e, ovf_e = _run(edges, state, geom, 24)
+    out_c, ovf_c = _run(migrate_compact, state, geom, 24)
+
+    assert int(ovf_e) == 0 and int(ovf_c) == 0
+    a = _alive_multiset(out_e, geom, ndev, cap)
+    b = _alive_multiset(out_c, geom, ndev, cap)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    # arrivals landed in-domain; no alive row left out of range
+    cells = np.asarray(out_e.cell)
+    alive = np.asarray(out_e.alive)
+    assert np.all(cells[alive] >= 0)
+    assert np.all(cells[alive] < geom.n_loc)
+
+
+def test_edges_counts_out_of_window_leavers():
+    """A leaver hiding OUTSIDE the head/tail windows is not exchanged
+    but must be counted into the overflow (never silent)."""
+    from opal_tpu.parallel.migrate import migrate_edges
+
+    ndev = 2
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    state = _sorted_state(geom, cap, 200, seed=9)
+    # plant a stray leaver in the middle of device 0 (row 100)
+    cell = state.cell.at[100].set(-1)
+    state = dataclasses.replace(state, cell=cell)
+
+    edges = partial(migrate_edges, window=64)
+    out, ovf = _run(edges, state, geom, 32)
+    assert int(ovf) == 1
+    # the stray is untouched, still flagged out-of-domain
+    assert int(out.cell[100]) == -1
+
+
+def test_edges_asymmetric_flux_spills_into_dead_pool():
+    """More left-arrivals than left-leavers: the excess must land in
+    free slots (the tail dead pool), not be dropped."""
+    from opal_tpu.parallel.migrate import migrate_edges
+
+    ndev = 2
+    geom = GridGeometry(nx=32 * ndev, dx=1.0, xmin=0.0, n_devices=ndev)
+    cap = 256
+    # device 0: many right-leavers; device 1: few leavers
+    rng = np.random.default_rng(3)
+    f = _empty_fields(SpeciesSpec.electron(), ndev * cap, np.float64)
+    for d in range(ndev):
+        n_alive = 200
+        cells = np.sort(rng.integers(0, geom.n_loc, n_alive))
+        if d == 0:
+            cells[-20:] = geom.n_loc  # 20 right-leavers, no left
+        sl = slice(d * cap, d * cap + n_alive)
+        f["alive"][sl] = True
+        f["cell"][sl] = cells
+        f["weight"][sl] = 1.0 + rng.random(n_alive)
+        f["u"][sl] = rng.normal(size=(n_alive, 3))
+        f["gamma"][sl] = np.sqrt(1.0 + np.sum(f["u"][sl] ** 2, axis=1))
+        f["tau"][sl] = 1.0
+        f["work"][sl] = 0.0
+        f["cell"][d * cap + n_alive:(d + 1) * cap] = geom.n_loc - 1
+    state = ParticleState(**{
+        k: (None if v is None else jnp.asarray(v)) for k, v in f.items()
+    })
+    n0 = int(jnp.sum(state.alive))
+
+    edges = partial(migrate_edges, window=64)
+    out, ovf = _run(edges, state, geom, 32)
+    assert int(ovf) == 0
+    assert int(jnp.sum(out.alive)) == n0
+    cells = np.asarray(out.cell)
+    alive = np.asarray(out.alive)
+    assert np.all(cells[alive] >= 0) and np.all(cells[alive] < geom.n_loc)

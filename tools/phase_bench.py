@@ -30,7 +30,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(args):
+def build(args, **opt_overrides):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,7 @@ def build(args):
     opts = SimOptions(
         dt=dt, migration_capacity=512, fused_pusher=True,
         fused_window=16, fused_block=2048, fused_resort_every=64,
-        migration_every=3,
+        migration_every=3, **opt_overrides,
     )
     espec = SpeciesSpec.electron()
     sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
@@ -105,7 +105,7 @@ def main(argv=None):
     p.add_argument("--particles", type=float, default=8.0 * 2**20)
     p.add_argument("--nx", type=int, default=1024)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--rungs", default="full,nocond,nomig,nosort,nofield")
+    p.add_argument("--rungs", default="full,nomisfit,nomig,nosort,nofield")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -124,11 +124,12 @@ def main(argv=None):
             saved[(mod, name)] = getattr(mod, name)
             setattr(mod, name, val)
 
-        order = ["full", "nocond", "nomig", "nosort", "nofield"]
+        order = ["full", "nomisfit", "nomig", "nosort", "nofield"]
         lvl = order.index(rung)
-        if lvl >= 1:  # drop the misfit cond (sim's only remaining cond)
-            patch(S, "lax", FalseCond(real_lax))
-        if lvl >= 2:  # drop the migration phase
+        overrides = {}
+        if lvl >= 1:  # drop the (unconditional) misfit fallback pass
+            overrides["debug_skip_misfit"] = True
+        if lvl >= 2:  # drop the migration phase (M=3: nothing inline)
             patch(S.Simulation, "_migrate_phase",
                   lambda self, carry, ai: carry)
         if lvl >= 3:  # drop the sort phase
@@ -163,7 +164,7 @@ def main(argv=None):
                 })(),
             )
         try:
-            sim, stuff = build(args)
+            sim, stuff = build(args, **overrides)
             compile_s, ms = timeit(sim, stuff, args.steps)
             results[rung] = ms
             print(f"{rung:8s} compile={compile_s:6.1f}s  ms/step={ms:7.3f}",
@@ -173,8 +174,8 @@ def main(argv=None):
                 setattr(mod, name, val)
 
     pairs = [
-        ("misfit cond", "full", "nocond"),
-        ("migration phase", "nocond", "nomig"),
+        ("misfit fallback", "full", "nomisfit"),
+        ("migration phase", "nomisfit", "nomig"),
         ("sort phase", "nomig", "nosort"),
         ("field pipeline", "nosort", "nofield"),
     ]
