@@ -35,7 +35,10 @@ def main(argv=None):
     # 2.7e8 at 2M)
     parser.add_argument("--particles", type=float, default=8.0 * 2**20)
     parser.add_argument("--nx", type=int, default=1024)
-    parser.add_argument("--steps", type=int, default=50)
+    # 250 steps so the timed block contains a maintenance sort at the
+    # default cadence (the schedule opens every run with one): shorter
+    # blocks under-amortize the per-run sort
+    parser.add_argument("--steps", type=int, default=250)
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--deposition", action="store_true", default=True)
@@ -57,8 +60,12 @@ def main(argv=None):
                              "re-anchors every block every step, so no "
                              "resort-drift term is needed)")
     parser.add_argument("--fused-block", type=int, default=2048)
-    parser.add_argument("--fused-resort", type=int, default=64,
-                        help="maintenance-sort cadence (steps)")
+    parser.add_argument("--fused-resort", type=int, default=256,
+                        help="maintenance-sort cadence (steps): the kernel "
+                             "re-anchors blocks every step, so sorts only "
+                             "bound block cell-span growth (dispersion)")
+    parser.add_argument("--misfit-capacity", type=int, default=512,
+                        help="compacted misfit-fallback rows per step")
     parser.add_argument("--migrate-every", type=int, default=3,
                         help="migration exchange cadence (<= 3 with the "
                              "4-cell halo)")
@@ -115,6 +122,7 @@ def main(argv=None):
         # costs ~7 ms per exchange on v5e.  Overflow is counted, never
         # silent (sim counters).
         migration_capacity=512,
+        fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,

@@ -144,7 +144,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     fused_block = int(tpu_opt("fused_block", 2048))
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
-    fused_resort_every = int(tpu_opt("fused_resort_every", 4))
+    fused_resort_every = int(tpu_opt("fused_resort_every", 64))
     migration_every = int(tpu_opt("migration_every", 1))
     try:
         epc_for_w = max(1, int(input_cfg.read_usize("electrons", "npc")))

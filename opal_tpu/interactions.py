@@ -67,8 +67,9 @@ def emit_radiation(sim, species, t, key):
             e.chi, e.gamma, r1, r2, r3
         )
 
-    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(e.u * e.u, axis=-1), _TINY))
-    parallel = e.u / u_norm[:, None]
+    e_u = e.u  # one (N, 3) stack of the momentum columns for the run
+    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(e_u * e_u, axis=-1), _TINY))
+    parallel = e_u / u_norm[:, None]
     perp = _rotate_around(_orthogonal(parallel), parallel, cphi)
     if opt.beaming:
         k_ph = omega_mc2[:, None] * (
@@ -91,17 +92,19 @@ def emit_radiation(sim, species, t, key):
         emits, jax.random.exponential(k4, shape, e.x.dtype), e.tau
     )
     if opt.radiation_reaction:
-        u_new = jnp.where(emits[:, None], e.u - k_ph, e.u)
+        u_new = jnp.where(emits[:, None], e_u - k_ph, e_u)
         gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
         chi_new = jnp.where(emits, e.chi * gamma_new / e.gamma, e.chi)
         gamma_new = jnp.where(emits, gamma_new, e.gamma)
     else:
-        u_new, gamma_new, chi_new = e.u, e.gamma, e.chi
+        u_new, gamma_new, chi_new = e_u, e.gamma, e.chi
     # cast back: the sampling tables are f64 and must not promote f32
     # state (breaks the scan carry dtype when x64 is enabled)
     e = dataclasses.replace(
         e,
-        u=u_new.astype(e.u.dtype),
+        ux=u_new[:, 0].astype(e.ux.dtype),
+        uy=u_new[:, 1].astype(e.uy.dtype),
+        uz=u_new[:, 2].astype(e.uz.dtype),
         gamma=gamma_new.astype(e.gamma.dtype),
         chi=chi_new.astype(e.chi.dtype),
         tau=new_tau.astype(e.tau.dtype),
@@ -131,7 +134,9 @@ def emit_radiation(sim, species, t, key):
         y=jnp.zeros(n, dtype),
         z=jnp.zeros(n, dtype),
         weight=e.weight,
-        u=k_ph.astype(dtype),
+        ux=k_ph[:, 0].astype(dtype),
+        uy=k_ph[:, 1].astype(dtype),
+        uz=k_ph[:, 2].astype(dtype),
         gamma=k0.astype(dtype),
         chi=jnp.zeros(n, dtype),
         tau=None,
@@ -181,7 +186,7 @@ def absorb(sim, species, t, key, axis_index=None):
     cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
     (sorted_cells, order, eg_s, ux_s, uy_s, uz_s, chi_s, w_s) = lax.sort(
         (cell_key, jnp.arange(n_e, dtype=jnp.int32), e.gamma,
-         e.u[:, 0], e.u[:, 1], e.u[:, 2], e.chi, e.weight),
+         e.ux, e.uy, e.uz, e.chi, e.weight),
         num_keys=1,
     )
     # segment [start[c], end[c]) of electrons in cell c
@@ -209,7 +214,8 @@ def absorb(sim, species, t, key, axis_index=None):
         r_perp = jnp.hypot(ph.y, ph.z)
         active = active & (r_perp <= opt.max_displacement)
 
-    k4_ph = jnp.concatenate([ph.gamma[:, None], ph.u], axis=1)
+    ph_u = ph.u  # one (N, 3) stack of the photon momentum columns
+    k4_ph = jnp.concatenate([ph.gamma[:, None], ph_u], axis=1)
     # packed (n_e, 6) electron table [p4 | chi | w] from the sorted
     # payloads: the candidate walk then does a single row gather per
     # block (separate column gathers fused into the cross-section math
@@ -311,8 +317,8 @@ def absorb(sim, species, t, key, axis_index=None):
         x_glob = geom.xmin + (
             ai * geom.n_loc + ph.cell - geom.interior_start + ph.x
         ) * geom.dx
-        p4_ev = jnp.concatenate(
-            [e.gamma[ev_e][:, None], e.u[ev_e]], axis=1
+        p4_ev = jnp.stack(
+            [e.gamma[ev_e], e.ux[ev_e], e.uy[ev_e], e.uz[ev_e]], axis=1
         )
         rec = jnp.concatenate(
             [
@@ -335,17 +341,17 @@ def absorb(sim, species, t, key, axis_index=None):
     scale_abs = ph.weight / jnp.maximum(w_e_ev, _TINY)
     du = jnp.where(
         absorbed[:, None],
-        scale_abs[:, None] * ph.u,
-        jnp.where(stimulated[:, None], -ph.u, 0.0),
+        scale_abs[:, None] * ph_u,
+        jnp.where(stimulated[:, None], -ph_u, 0.0),
     )
-    du_e = (
-        jnp.zeros((n_e, 3), dtype)
-        .at[ev_e]
-        .add(jnp.where((absorbed | stimulated)[:, None], du, 0.0))
+    du = jnp.where((absorbed | stimulated)[:, None], du, 0.0)
+    ux_new = e.ux.at[ev_e].add(du[:, 0])
+    uy_new = e.uy.at[ev_e].add(du[:, 1])
+    uz_new = e.uz.at[ev_e].add(du[:, 2])
+    gamma_new = jnp.sqrt(1.0 + ux_new**2 + uy_new**2 + uz_new**2)
+    e = dataclasses.replace(
+        e, ux=ux_new, uy=uy_new, uz=uz_new, gamma=gamma_new
     )
-    u_new = e.u + du_e
-    gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
-    e = dataclasses.replace(e, u=u_new, gamma=gamma_new)
 
     # --- photon bookkeeping -------------------------------------------
     ph = dataclasses.replace(
@@ -354,7 +360,9 @@ def absorb(sim, species, t, key, axis_index=None):
         tau_st=tau_st,
         alive=ph.alive & ~absorbed,
         weight=jnp.where(absorbed, 0.0, ph.weight),
-        u=jnp.where(absorbed[:, None], 0.0, ph.u),
+        ux=jnp.where(absorbed, 0.0, ph.ux),
+        uy=jnp.where(absorbed, 0.0, ph.uy),
+        uz=jnp.where(absorbed, 0.0, ph.uz),
         cell=jnp.where(absorbed, 0, ph.cell),
     )
 
@@ -367,7 +375,9 @@ def absorb(sim, species, t, key, axis_index=None):
         y=ph.y,
         z=ph.z,
         weight=w_e_ev,
-        u=ph.u,
+        ux=ph.ux,
+        uy=ph.uy,
+        uz=ph.uz,
         gamma=ph.gamma,
         chi=ph.chi,
         tau=None,

@@ -160,8 +160,8 @@ def migrate(
     clear_cols = np.zeros(K, bool)
     for f in ("cell", "weight", "alive"):
         clear_cols[_column_index(state, f)] = True
-    uc = _column_index(state, "u")
-    clear_cols[uc : uc + 3] = True
+    for f in ("ux", "uy", "uz"):
+        clear_cols[_column_index(state, f)] = True
     packed = jnp.where(
         gone[:, None] & jnp.asarray(clear_cols)[None, :], 0.0, packed
     )
@@ -473,7 +473,9 @@ def migrate_compact(
         weight=state.weight.at[gt].set(
             zero32.astype(state.weight.dtype), mode="drop"
         ),
-        u=state.u.at[gt].set(0.0, mode="drop"),
+        ux=state.ux.at[gt].set(zero32.astype(state.ux.dtype), mode="drop"),
+        uy=state.uy.at[gt].set(zero32.astype(state.uy.dtype), mode="drop"),
+        uz=state.uz.at[gt].set(zero32.astype(state.uz.dtype), mode="drop"),
     )
 
     # arrivals land in free slots (leaver slots just vacated included;
@@ -529,7 +531,7 @@ def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
         rebuilt["prev_x"] = sorted_st.x
     if state.gamma is not None:
         rebuilt["gamma"] = jnp.sqrt(
-            1.0 + jnp.sum(sorted_st.u * sorted_st.u, axis=1)
+            1.0 + sorted_st.ux**2 + sorted_st.uy**2 + sorted_st.uz**2
         ).astype(state.gamma.dtype)
     if state.chi is not None:
         rebuilt["chi"] = jnp.zeros_like(state.chi)

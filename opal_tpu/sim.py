@@ -111,7 +111,7 @@ class SimOptions:
     fused_pusher: bool = False
     fused_block: int = 2048
     fused_window: int = 32
-    fused_misfit_capacity: int = 4096
+    fused_misfit_capacity: int = 1024
     # resort cadence R: a LOCAL payload re-sort (migrate.sort_state)
     # opens every R-step period as a statically scheduled phase (no
     # per-step cond); between sorts the kernel re-anchors each block
@@ -209,7 +209,8 @@ class Simulation:
             st = dataclasses.replace(
                 st,
                 cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y, z=res.z,
-                u=res.u, gamma=res.gamma, chi=res.chi, tau=res.tau,
+                ux=res.u[:, 0], uy=res.u[:, 1], uz=res.u[:, 2],
+                gamma=res.gamma, chi=res.chi, tau=res.tau,
                 work=res.work,
             )
         elif spec.kind == "ion":
@@ -219,7 +220,8 @@ class Simulation:
                 st.cell, st.x, st.y, st.z, st.u, q, m, Ep, Bp, geom.dx, opt.dt
             )
             st = dataclasses.replace(
-                st, cell=cell, x=x, prev_x=prev_x, y=y, z=z, u=u,
+                st, cell=cell, x=x, prev_x=prev_x, y=y, z=z,
+                ux=u[:, 0], uy=u[:, 1], uz=u[:, 2],
                 gamma=1.0 + gamma_m1,
             )
         elif spec.kind == "photon":
@@ -307,7 +309,7 @@ class Simulation:
         rows = st.cell + HALO + F.PAD
         cols, miss, out_slab, anchors_next = F.fused_push_deposit(
             fspec, anchors, rows, st.x, st.y, st.z,
-            st.u[:, 0], st.u[:, 1], st.u[:, 2], st.gamma, macro,
+            st.ux, st.uy, st.uz, st.gamma, macro,
             st.work if st.work is not None else zero, eb,
             interpret=jax.default_backend() == "cpu",
         )
@@ -337,7 +339,7 @@ class Simulation:
         upd = dict(
             cell=(cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
             x=cols["x"], prev_x=cols["prev_x"], y=cols["y"], z=cols["z"],
-            u=jnp.stack([cols["ux"], cols["uy"], cols["uz"]], axis=1),
+            ux=cols["ux"], uy=cols["uy"], uz=cols["uz"],
             gamma=cols["gamma"], chi=cols["chi"],
         )
         if st.tau is not None:
@@ -364,7 +366,9 @@ class Simulation:
             )
             m_cell = tk(st.cell, 0)
             m_x = tk(st.x, 0.0)
-            m_u = tk(st.u, 0.0)
+            m_u = jnp.stack(
+                [tk(st.ux, 0.0), tk(st.uy, 0.0), tk(st.uz, 0.0)], axis=1
+            )
             m_q = tk(macro, 0.0)
             Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
             if spec.kind == "electron":
@@ -376,7 +380,8 @@ class Simulation:
                 )
                 fb = dict(
                     cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y,
-                    z=res.z, u=res.u, gamma=res.gamma, chi=res.chi,
+                    z=res.z, ux=res.u[:, 0], uy=res.u[:, 1],
+                    uz=res.u[:, 2], gamma=res.gamma, chi=res.chi,
                     tau=res.tau, work=res.work,
                 )
                 vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
@@ -389,8 +394,8 @@ class Simulation:
                 )
                 gb = 1.0 + gm1
                 fb = dict(
-                    cell=cell_b, x=x_b, prev_x=px_b, y=y_b, z=z_b, u=u_b,
-                    gamma=gb,
+                    cell=cell_b, x=x_b, prev_x=px_b, y=y_b, z=z_b,
+                    ux=u_b[:, 0], uy=u_b[:, 1], uz=u_b[:, 2], gamma=gb,
                 )
                 vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
             J2, rho2 = deposit(

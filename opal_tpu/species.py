@@ -36,7 +36,9 @@ from .grid import GridGeometry
         "y",
         "z",
         "weight",
-        "u",
+        "ux",
+        "uy",
+        "uz",
         "gamma",
         "chi",
         "tau",
@@ -65,7 +67,12 @@ class ParticleState:
     y: jnp.ndarray
     z: jnp.ndarray
     weight: jnp.ndarray
-    u: jnp.ndarray  # (N, 3)
+    # momentum components as three flat columns — a (N, 3) array costs
+    # a strided slice per component read and a re-stack per write on
+    # every hot-path use, and tiles poorly on TPU
+    ux: jnp.ndarray
+    uy: jnp.ndarray
+    uz: jnp.ndarray
     gamma: jnp.ndarray
     chi: jnp.ndarray
     tau: jnp.ndarray | None
@@ -84,6 +91,14 @@ class ParticleState:
     @property
     def capacity(self) -> int:
         return self.cell.shape[0]
+
+    @property
+    def u(self) -> jnp.ndarray:
+        """(N, 3) view of the momentum columns (convenience for
+        diagnostics and setup paths; hot paths use the columns
+        directly — this stacks a fresh array every call)."""
+        xp = jnp if isinstance(self.ux, jnp.ndarray) else np
+        return xp.stack([self.ux, self.uy, self.uz], axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,7 +142,9 @@ def _empty_fields(spec: SpeciesSpec, n: int, dtype):
         y=np.zeros(n, dtype),
         z=np.zeros(n, dtype),
         weight=np.zeros(n, dtype),
-        u=np.zeros((n, 3), dtype),
+        ux=np.zeros(n, dtype),
+        uy=np.zeros(n, dtype),
+        uz=np.zeros(n, dtype),
         gamma=np.ones(n, dtype),
         chi=np.zeros(n, dtype),
         tau=None,
@@ -242,7 +259,9 @@ def initialize(
         fields["x"][slots] = xi
         fields["prev_x"][slots] = prev_x
         fields["weight"][slots] = w_rep
-        fields["u"][slots] = u
+        fields["ux"][slots] = u[:, 0]
+        fields["uy"][slots] = u[:, 1]
+        fields["uz"][slots] = u[:, 2]
         fields["gamma"][slots] = gamma_like
         fields["alive"][slots] = True
         if spec.kind == "electron":
@@ -359,7 +378,9 @@ def initialize_device(
             y=zero,
             z=zero,
             weight=jnp.where(alive, w, 0.0),
-            u=jnp.where(alive[:, None], u, 0.0),
+            ux=jnp.where(alive, u[:, 0], 0.0),
+            uy=jnp.where(alive, u[:, 1], 0.0),
+            uz=jnp.where(alive, u[:, 2], 0.0),
             gamma=jnp.where(alive, gamma_like, 0.0 if spec.kind == "photon" else 1.0),
             chi=zero,
             tau=None,
@@ -417,7 +438,7 @@ def kinetic_energy_weights(spec: SpeciesSpec, state: ParticleState):
     (``electron.rs:122-126``, ``ion.rs:128-134``, ``photon.rs:224-226``).
     """
     to_joules = 1.0e6 * const.ELECTRON_MASS_MEV * const.ELEMENTARY_CHARGE
-    u2 = jnp.sum(state.u * state.u, axis=-1)
+    u2 = state.ux**2 + state.uy**2 + state.uz**2
     if spec.kind == "photon":
         ke = state.weight * state.gamma * to_joules
     elif spec.kind == "ion":

@@ -21,6 +21,10 @@ from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
 
 def _state(spec, n, **over):
     fields = _empty_fields(spec, n, np.float64)
+    u = over.pop("u", None)
+    if u is not None:
+        u = np.asarray(u, np.float64)
+        fields["ux"], fields["uy"], fields["uz"] = u[:, 0], u[:, 1], u[:, 2]
     fields.update(over)
     return ParticleState(
         **{

@@ -22,6 +22,10 @@ C = const.SPEED_OF_LIGHT
 
 def _state(spec, n, **overrides):
     f = _empty_fields(spec, n, np.float64)
+    u = overrides.pop("u", None)
+    if u is not None:
+        u = np.asarray(u, np.float64)
+        f["ux"], f["uy"], f["uz"] = u[:, 0], u[:, 1], u[:, 2]
     for k, v in overrides.items():
         f[k] = v
     return ParticleState(**{k: (None if v is None else jnp.asarray(v)) for k, v in f.items()})
@@ -125,9 +129,7 @@ def test_emission_rate_statistics():
     f["cell"][:] = rngloc.integers(0, geom.n_loc, n_e)
     f["x"][:] = rngloc.random(n_e)
     f["weight"][:] = 1.0
-    f["u"][:, 2] = u0  # perpendicular to B? B along z, u along z gives chi=0
-    f["u"][:, 2] = 0.0
-    f["u"][:, 0] = u0
+    f["ux"][:] = u0  # perpendicular to B (B along z; u along z gives chi=0)
     f["gamma"][:] = gamma0
     f["tau"][:] = rngloc.exponential(size=n_e)
     f["alive"][:] = True

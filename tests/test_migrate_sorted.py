@@ -35,8 +35,9 @@ def _random_state(geom, cap_per_dev, n_alive_per_dev, seed, spill=True):
         f["x"][slots] = rng.random(n_alive_per_dev)
         f["prev_x"][slots] = rng.random(n_alive_per_dev)
         f["weight"][slots] = 1.0 + rng.random(n_alive_per_dev)
-        f["u"][slots] = rng.normal(size=(n_alive_per_dev, 3))
-        f["gamma"][slots] = np.sqrt(1.0 + np.sum(f["u"][slots] ** 2, axis=1))
+        u = rng.normal(size=(n_alive_per_dev, 3))
+        f["ux"][slots], f["uy"][slots], f["uz"][slots] = u.T
+        f["gamma"][slots] = np.sqrt(1.0 + np.sum(u**2, axis=1))
         f["tau"][slots] = rng.exponential(size=n_alive_per_dev)
         f["work"][slots] = rng.normal(size=n_alive_per_dev)
     return ParticleState(**{k: (None if v is None else jnp.asarray(v)) for k, v in f.items()})
@@ -70,7 +71,7 @@ def _alive_multiset(state, geom, ndev, cap_per_dev):
     dev = np.arange(al.shape[0]) // cap_per_dev
     g = dev * geom.n_loc + np.asarray(state.cell)
     rows = np.stack(
-        [g[al], np.asarray(state.weight)[al], np.asarray(state.u)[al, 0],
+        [g[al], np.asarray(state.weight)[al], np.asarray(state.ux)[al],
          np.asarray(state.x)[al], np.asarray(state.work)[al]], axis=1
     )
     return rows[np.lexsort(rows.T[::-1])]
@@ -230,8 +231,9 @@ def _sorted_state(geom, cap_per_dev, n_alive_per_dev, seed):
         f["x"][sl] = rng.random(n_alive_per_dev)
         f["prev_x"][sl] = rng.random(n_alive_per_dev)
         f["weight"][sl] = 1.0 + rng.random(n_alive_per_dev)
-        f["u"][sl] = rng.normal(size=(n_alive_per_dev, 3))
-        f["gamma"][sl] = np.sqrt(1.0 + np.sum(f["u"][sl] ** 2, axis=1))
+        u = rng.normal(size=(n_alive_per_dev, 3))
+        f["ux"][sl], f["uy"][sl], f["uz"][sl] = u.T
+        f["gamma"][sl] = np.sqrt(1.0 + np.sum(u**2, axis=1))
         f["tau"][sl] = rng.exponential(size=n_alive_per_dev)
         f["work"][sl] = rng.normal(size=n_alive_per_dev)
         # dead tail keeps an in-range placeholder cell (sort_state
@@ -307,8 +309,9 @@ def test_edges_asymmetric_flux_spills_into_dead_pool():
         f["alive"][sl] = True
         f["cell"][sl] = cells
         f["weight"][sl] = 1.0 + rng.random(n_alive)
-        f["u"][sl] = rng.normal(size=(n_alive, 3))
-        f["gamma"][sl] = np.sqrt(1.0 + np.sum(f["u"][sl] ** 2, axis=1))
+        u = rng.normal(size=(n_alive, 3))
+        f["ux"][sl], f["uy"][sl], f["uz"][sl] = u.T
+        f["gamma"][sl] = np.sqrt(1.0 + np.sum(u**2, axis=1))
         f["tau"][sl] = 1.0
         f["work"][sl] = 0.0
         f["cell"][d * cap + n_alive:(d + 1) * cap] = geom.n_loc - 1

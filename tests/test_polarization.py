@@ -10,8 +10,9 @@ from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
 def _photons(k_list):
     n = len(k_list)
     fields = _empty_fields(SpeciesSpec.photon(), n, np.float64)
-    fields["u"] = np.asarray(k_list, np.float64)
-    fields["gamma"] = np.sqrt(np.sum(fields["u"] ** 2, axis=-1))
+    k_arr = np.asarray(k_list, np.float64)
+    fields["ux"], fields["uy"], fields["uz"] = k_arr.T.copy()
+    fields["gamma"] = np.sqrt(np.sum(k_arr**2, axis=-1))
     fields["alive"][:] = True
     return ParticleState(**fields)
 
@@ -54,7 +55,8 @@ def test_helicity_of_circular_states():
             **{
                 f: getattr(st, f)
                 for f in (
-                    "cell", "x", "prev_x", "y", "z", "weight", "u", "gamma",
+                    "cell", "x", "prev_x", "y", "z", "weight",
+                    "ux", "uy", "uz", "gamma",
                     "chi", "tau", "tau_abs", "tau_st", "work", "birth_time",
                     "alive", "basis",
                 )

@@ -322,7 +322,7 @@ def test_single_particle_trajectory_across_devices(ndev):
     f["cell"][0] = 5
     f["x"][0] = 0.25
     f["weight"][0] = 1.0
-    f["u"][0] = [u0, 0.0, 0.0]
+    f["ux"][0] = u0
     f["gamma"][0] = gamma0
     f["alive"][0] = True
     state = sim.shard_particles(ParticleState(**f))

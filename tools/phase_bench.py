@@ -106,6 +106,7 @@ def main(argv=None):
     p.add_argument("--nx", type=int, default=1024)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--rungs", default="full,nomisfit,nomig,nosort,nofield")
+    p.add_argument("--misfit-capacity", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -127,6 +128,8 @@ def main(argv=None):
         order = ["full", "nomisfit", "nomig", "nosort", "nofield"]
         lvl = order.index(rung)
         overrides = {}
+        if args.misfit_capacity is not None:
+            overrides["fused_misfit_capacity"] = args.misfit_capacity
         if lvl >= 1:  # drop the (unconditional) misfit fallback pass
             overrides["debug_skip_misfit"] = True
         if lvl >= 2:  # drop the migration phase (M=3: nothing inline)
