@@ -83,6 +83,17 @@ class FusedSpec(NamedTuple):
     charge: float       # species charge (for q/m in the push)
     mass: float
     pusher: str = "vay"  # "vay" (electrons) or "boris" (ions)
+    # row offset: field-table row = particle cell + row_off
+    # (HALO + PAD); the kernel does the shift itself so the caller
+    # never materializes offset copies of the cell column
+    row_off: int = 0
+    # species charge sign/magnitude is folded into the macrocharge
+    # inside the kernel: q = weight * charge (dead rows carry weight 0
+    # — an invariant kept by initialization, migration retire and the
+    # sort placeholder rows)
+    # profiling ONLY: skip the deposit section (values + one-hot +
+    # matmul) to attribute kernel time
+    dep_skip: bool = False
 
 
 def _w2(xh):
@@ -135,13 +146,13 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     def _():
         out_ref[...] = jnp.zeros((spec.n_rows, 16), F32)
 
-    cell = cell_ref[...]
+    cell = cell_ref[...] + spec.row_off   # field-table row index
     rel = cell - base
     relf = rel.astype(F32)
     x = x_ref[...]
     ux, uy, uz = ux_ref[...], uy_ref[...], uz_ref[...]
     g = g_ref[...]
-    q = q_ref[...]
+    q = q_ref[...] * F32(spec.charge)     # macrocharge from the weight
 
     fit = (rel >= 3) & (rel <= W - 4)
     miss = (q != 0.0) & ~fit
@@ -244,7 +255,7 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     xn = xn - fl
     prevn = prev - fl
 
-    ncell_ref[...] = jnp.where(upd, celln, cell)
+    ncell_ref[...] = jnp.where(upd, celln, cell) - spec.row_off
     nx_ref[...] = jnp.where(upd, xn, x)
     npx_ref[...] = jnp.where(upd, prevn, x)
     ny_ref[...] = jnp.where(upd, y_ref[...] + vty * dt, y_ref[...])
@@ -271,6 +282,8 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     )
 
     # ---- deposit: one-hot batched matmul over the window ------------
+    if spec.dep_skip:
+        return
     qd = jnp.where(upd, q, 0.0)
     vmy = C * uny / gn
     vmz = C * unz / gn
@@ -294,7 +307,8 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     j_iota = lax.broadcasted_iota(jnp.int32, (RB, W + 4, 128), 1)
     reln = celln - base
     O = (reln[:, None, :] == j_iota - 2).astype(F32)
-    # C3[r, j, c] = sum_lanes O[r, j, l] * V[r, c, l]  (MXU)
+    # C3[r, j, c] = sum_lanes O[r, j, l] * V[r, c, l]  (MXU; the
+    # swapped (V, O) orientation measured 6.0 vs 5.7 ms at 8.4M)
     C3 = lax.dot_general(
         O, V, (((2,), (2,)), ((0,), (0,))), preferred_element_type=F32
     )
@@ -303,7 +317,7 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
 
 
 def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
-                       uz, gamma, macrocharge, work, eb_rows,
+                       uz, gamma, weight, work, eb_rows,
                        *, interpret=False):
     """Run the fused kernel over all particle blocks.
 
@@ -355,7 +369,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     )(
         anchors.astype(jnp.int32),
         as2d(cell, jnp.int32), as2d(x), as2d(y), as2d(z), as2d(ux),
-        as2d(uy), as2d(uz), as2d(gamma), as2d(macrocharge), as2d(work),
+        as2d(uy), as2d(uz), as2d(gamma), as2d(weight), as2d(work),
         eb_rows,
     )
     (ncell, nx, npx, ny, nz, nux, nuy, nuz, ng, nwork, ngh, nchi, miss,
@@ -407,17 +421,18 @@ def fold_out_slab(out_slab):
     return J[PAD:-PAD], rho[PAD:-PAD]
 
 
-def block_anchors(spec: FusedSpec, cell, halo_pad):
-    """Per-block window bases for a cell-sorted state: the first row of
-    each block is the block minimum (dead rows carry in-range
-    placeholder cells), offset so rel lands at >= 3.  Bases are clipped
+def block_anchors(spec: FusedSpec, cell):
+    """Per-block window bases for a cell-sorted state, from the raw
+    device-local cell column: per-block minima (an (nblk, block)
+    reduction; dead rows carry in-range placeholder cells) shifted to
+    table-row space and offset so rel lands at >= 3.  Bases are clipped
     to [2, n_rows - W - 2] so neither the window read nor the deposit
     write (base-2 .. base+W+2) can leave the table — a dynamic slice
     whose start is out of range would CLAMP and silently shift the
     window onto the wrong rows."""
-    first = cell[:: spec.block]
+    mins = jnp.min(cell.reshape(-1, spec.block), axis=1)
     return jnp.clip(
-        (first + halo_pad - 3).astype(jnp.int32),
+        (mins + spec.row_off - 3).astype(jnp.int32),
         2, spec.n_rows - spec.window - 2,
     )
 

@@ -279,6 +279,7 @@ class Simulation:
             dx=geom.dx, dt=opt.dt,
             charge=spec.charge, mass=spec.mass,
             pusher="vay" if spec.kind == "electron" else "boris",
+            row_off=HALO + F.PAD,
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
@@ -302,14 +303,14 @@ class Simulation:
         spec = self.specs[name]
         fspec = self._fused_spec(name)
         eb = F.make_eb_rows(E_slab, B_slab)
-        macro = jnp.where(st.alive, st.weight * spec.charge, 0.0).astype(
-            jnp.float32
-        )
         zero = jnp.zeros_like(st.x)
-        rows = st.cell + HALO + F.PAD
+        # the kernel forms the macrocharge (weight * charge) and the
+        # table-row shift itself — dead rows carry weight 0 (invariant
+        # of initialization, migration retire and sort placeholders),
+        # so no masked copy of the weight column is materialized here
         cols, miss, out_slab, anchors_next = F.fused_push_deposit(
-            fspec, anchors, rows, st.x, st.y, st.z,
-            st.ux, st.uy, st.uz, st.gamma, macro,
+            fspec, anchors, st.cell, st.x, st.y, st.z,
+            st.ux, st.uy, st.uz, st.gamma, st.weight,
             st.work if st.work is not None else zero, eb,
             interpret=jax.default_backend() == "cpu",
         )
@@ -337,7 +338,7 @@ class Simulation:
             ).astype(st.tau.dtype)
 
         upd = dict(
-            cell=(cols["cell"] - HALO - F.PAD).astype(st.cell.dtype),
+            cell=cols["cell"].astype(st.cell.dtype),
             x=cols["x"], prev_x=cols["prev_x"], y=cols["y"], z=cols["z"],
             ux=cols["ux"], uy=cols["uy"], uz=cols["uz"],
             gamma=cols["gamma"], chi=cols["chi"],
@@ -369,7 +370,9 @@ class Simulation:
             m_u = jnp.stack(
                 [tk(st.ux, 0.0), tk(st.uy, 0.0), tk(st.uz, 0.0)], axis=1
             )
-            m_q = tk(macro, 0.0)
+            m_q = tk(st.weight, 0.0).astype(jnp.float32) * jnp.float32(
+                spec.charge
+            )
             Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
             if spec.kind == "electron":
                 res = vay_push(
@@ -478,9 +481,7 @@ class Simulation:
             if self._fused_applicable(name, species[name]):
                 fspec = self._fused_spec(name)
                 st = sort_state(species[name], geom.n_loc)
-                new_anchors[name] = F.block_anchors(
-                    fspec, st.cell + HALO + F.PAD, 0
-                )
+                new_anchors[name] = F.block_anchors(fspec, st.cell)
                 species = {**species, name: st}
         return (E, B, J, rho, species, t, counters, events, new_anchors)
 
@@ -529,9 +530,7 @@ class Simulation:
                 if inline_sort:
                     # R == 1: re-sort every step
                     st0 = sort_state(st0, geom.n_loc)
-                    anch = F.block_anchors(
-                        fspec, st0.cell + HALO + F.PAD, 0
-                    )
+                    anch = F.block_anchors(fspec, st0.cell)
                 else:
                     # between the statically scheduled sort phases the
                     # kernel's own per-block fit-row minimum from the

@@ -28,14 +28,16 @@ def _setup(n=4 * 2048, nx=256, seed=0, emission_on=False, strays=0):
     spec = fused.FusedSpec(
         block=2048, window=128, n_rows=nx + 2 * HALO + 2 * fused.PAD,
         dx=dx, dt=dt, charge=const.ELECTRON_CHARGE,
-        mass=const.ELECTRON_MASS,
+        mass=const.ELECTRON_MASS, row_off=HALO + fused.PAD,
     )
     cells = np.sort(rng.integers(0, nx, n)).astype(np.int32)
+    sorted_cells = cells.copy()
     x = rng.random(n, dtype=np.float32)
     u = 0.5 * rng.standard_normal((n, 3)).astype(np.float32)
     u[:, 0] += 0.01
     g = np.sqrt(1.0 + np.sum(u * u, axis=1)).astype(np.float32)
-    q = np.full(n, 20.0 * dx / 8 * const.ELECTRON_CHARGE, np.float32)
+    # weight column (the kernel multiplies in the species charge)
+    q = np.full(n, 20.0 * dx / 8, np.float32)
     q[rng.random(n) < 0.05] = 0.0  # dead rows
     stray_rows = rng.choice(n, strays, replace=False) if strays else []
     for r in stray_rows:
@@ -44,16 +46,21 @@ def _setup(n=4 * 2048, nx=256, seed=0, emission_on=False, strays=0):
     tau = rng.exponential(size=n).astype(np.float32) * 10.0
     E = (2e3 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
     B = (1e-5 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
-    return spec, cells, x, u, g, q, work, tau, E, B, dx, dt, stray_rows
+    return (spec, cells, x, u, g, q, work, tau, E, B, dx, dt, stray_rows,
+            sorted_cells)
 
 
-def _run_fused(spec, cells, x, u, g, q, work, tau, E, B):
+def _run_fused(spec, cells, x, u, g, q, work, tau, E, B,
+               anchor_cells=None):
     eb = fused.make_eb_rows(jnp.asarray(E), jnp.asarray(B))
-    idx_rows = jnp.asarray(cells) + HALO + fused.PAD
-    anchors = fused.block_anchors(spec, jnp.asarray(cells), HALO + fused.PAD)
+    # anchors come from the freshly SORTED cells (block_anchors is only
+    # ever called right after sort_state); strays appear later
+    anchors = fused.block_anchors(
+        spec, jnp.asarray(cells if anchor_cells is None else anchor_cells)
+    )
     zero = jnp.zeros_like(jnp.asarray(x))
     return fused.fused_push_deposit(
-        spec, anchors, idx_rows, jnp.asarray(x), zero, zero,
+        spec, anchors, jnp.asarray(cells), jnp.asarray(x), zero, zero,
         jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]), jnp.asarray(u[:, 2]),
         jnp.asarray(g), jnp.asarray(q), jnp.asarray(work),
         eb, interpret=True,
@@ -71,9 +78,10 @@ def _run_unfused(spec, cells, x, u, g, q, work, tau, E, B, emission_on):
     )
     vel = C * res.u / res.gamma[:, None]
     n_slab = E.shape[0]
+    macro = jnp.asarray(q) * F32(const.ELECTRON_CHARGE)
     J, rho = deposit_sorted(
         jnp.zeros((n_slab, 3), F32), jnp.zeros((n_slab,), F32),
-        res.cell + HALO, res.x, res.prev_x, jnp.asarray(q), vel,
+        res.cell + HALO, res.x, res.prev_x, macro, vel,
         spec.dx, spec.dt,
     )
     return res, J, rho
@@ -87,13 +95,16 @@ def _assert_close(a, b, rtol, name):
 
 def test_fused_matches_unfused():
     emission_on = True
-    spec, cells, x, u, g, q, work, tau, E, B, dx, dt, _ = _setup()
+    spec, cells, x, u, g, q, work, tau, E, B, dx, dt, _, _sc = _setup()
     cols, miss, out_slab, anch_next = _run_fused(
         spec, cells, x, u, g, q, work, tau, E, B
     )
     # the kernel-emitted next-step anchors are the per-block fit-row
     # cell minima minus the CFL slack (clipped to the table)
-    live_cells = np.asarray(cols["cell"]).reshape(-1, spec.block)
+    live_cells = (
+        np.asarray(cols["cell"]).reshape(-1, spec.block)
+        + HALO + fused.PAD
+    )
     live = (q != 0.0).reshape(-1, spec.block)
     expect = np.where(
         live.any(axis=1),
@@ -109,7 +120,7 @@ def test_fused_matches_unfused():
 
     live = q != 0.0
     for name, a, b, tol in [
-        ("cell", np.asarray(cols["cell"])[live] - HALO - fused.PAD,
+        ("cell", np.asarray(cols["cell"])[live],
          np.asarray(res.cell)[live], 0.0),
         ("x", np.asarray(cols["x"])[live], np.asarray(res.x)[live], 3e-5),
         ("prev_x", np.asarray(cols["prev_x"])[live],
@@ -146,19 +157,19 @@ def test_fused_matches_unfused():
 
 
 def test_fused_misfits_flagged_and_untouched():
-    spec, cells, x, u, g, q, work, tau, E, B, dx, dt, strays = _setup(
-        strays=40, seed=3
-    )
+    (spec, cells, x, u, g, q, work, tau, E, B, dx, dt, strays,
+     sorted_cells) = _setup(strays=40, seed=3)
     # only count strays that are alive and actually left their window
     cols, miss, out_slab, _anch = _run_fused(
-        spec, cells, x, u, g, q, work, tau, E, B
+        spec, cells, x, u, g, q, work, tau, E, B,
+        anchor_cells=sorted_cells,
     )
     miss = np.asarray(miss) > 0.5
     assert miss.sum() > 0
     assert set(np.flatnonzero(miss)) <= set(strays)
-    # misfit rows keep their original state (cell col includes offsets)
+    # misfit rows keep their original state
     np.testing.assert_array_equal(
-        np.asarray(cols["cell"])[miss], (cells + HALO + fused.PAD)[miss]
+        np.asarray(cols["cell"])[miss], cells[miss]
     )
     np.testing.assert_array_equal(np.asarray(cols["x"])[miss], x[miss])
     np.testing.assert_array_equal(np.asarray(cols["ux"])[miss], u[miss, 0])

@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=16)
     p.add_argument("--block", type=int, default=2048)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--dep-skip", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -48,20 +49,22 @@ def main(argv=None):
     spec = F.FusedSpec(
         block=args.block, window=args.window, n_rows=n_rows, dx=dx, dt=dt,
         charge=const.ELECTRON_CHARGE, mass=const.ELECTRON_MASS,
+        dep_skip=args.dep_skip, row_off=HALO + F.PAD,
     )
 
     rng = np.random.default_rng(0)
     cells = np.sort(rng.integers(0, nx, n)).astype(np.int32)
-    rows = jnp.asarray(cells + HALO + F.PAD)
+    rows = jnp.asarray(cells)
     x = jnp.asarray(rng.random(n, dtype=np.float32))
     u = jnp.asarray(1e-2 * rng.standard_normal((n, 3)).astype(np.float32))
     g = jnp.sqrt(1.0 + jnp.sum(u * u, axis=1))
-    q = jnp.full((n,), 20.0 * dx / npc * const.ELECTRON_CHARGE, jnp.float32)
+    # weight column (the kernel folds in the species charge itself)
+    q = jnp.full((n,), 20.0 * dx / npc, jnp.float32)
     work = jnp.zeros((n,), jnp.float32)
     E = (2e3 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
     B = (1e-5 * rng.standard_normal((nx + 2 * HALO, 3))).astype(np.float32)
     eb = F.make_eb_rows(jnp.asarray(E), jnp.asarray(B))
-    anchors = F.block_anchors(spec, rows, 0)
+    anchors = F.block_anchors(spec, rows)
 
     def body(carry, _):
         rows, x, ux, uy, uz, g, work, anch = carry
