@@ -135,6 +135,13 @@ def main(argv=None):
         fused_block=args.fused_block,
         fused_resort_every=args.fused_resort,
         migration_every=args.migrate_every,
+        # the edge-exchange window must cover the leaver FRONT, which
+        # marches npc * v rows/step through the (row-static) sorted
+        # state between maintenance sorts: the bench plasma drifts
+        # 0.01c (0.0095 cells/step under CFL)
+        migration_window=max(
+            4096, -(-int(npc * (0.0095 * args.fused_resort + 3)) // 8) * 8
+        ),
     )
     espec = SpeciesSpec.electron()
     specs = {"electron": espec}
@@ -209,6 +216,10 @@ def main(argv=None):
     elapsed = time.monotonic() - t0
 
     pushes_per_sec = n_particles * args.steps / elapsed
+    lost = {k: int(v) for k, v in out[6].items()}
+    if any(lost.values()):
+        print(f"# WARNING buffer-overflow particle losses: {lost}",
+              file=sys.stderr)
     if args.verbose:
         print(
             f"# device={jax.devices()[0].device_kind} x{ndev} "

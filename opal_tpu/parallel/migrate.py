@@ -521,7 +521,19 @@ def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
     )
     packed = pack_state(reduced, state.x.dtype)
     K = packed.shape[1]
-    skey = jnp.where(dead, _BIG, reduced.cell).astype(jnp.int32)
+    # key = (cell, sign(ux)): the direction refinement keeps the state
+    # strictly CELL-sorted (deposition segments and edge migration are
+    # unaffected) but separates counter-streaming populations into
+    # different kernel blocks.  Each block then drifts COHERENTLY and
+    # the kernel's exact per-block re-anchoring tracks it at any
+    # velocity — without the refinement a block holding both beams
+    # disperses at 2v per step and overruns its field window (mass
+    # misfits at relativistic v).  Thermal spread still disperses a
+    # block, but only at the velocity SPREAD, not the bulk speed.
+    skey = jnp.where(
+        dead, _BIG,
+        2 * reduced.cell + (state.ux > 0.0).astype(jnp.int32),
+    ).astype(jnp.int32)
     out = lax.sort(
         (skey, *(packed[:, i] for i in range(K))), num_keys=1
     )
@@ -674,10 +686,18 @@ def migrate_edges(
     lt = tabs[0, :cap]
     rt = tabs[1, :cap]
     gt = tabs[2]
-    ft_lo = tabs[3, :cap]
-    # highest free rows: free-ranks nf-cap+1 .. nf (clipped at 1)
-    q_hi = jnp.maximum(nf - cap + 1 + jnp.arange(cap, dtype=cum.dtype), 1)
-    ft_hi = jnp.searchsorted(cum[:, 3], q_hi).astype(jnp.int32)
+    # per-half free-slot tables, LOWEST rows first: arrivals then land
+    # in the slots leavers just vacated (whose kernel blocks cover the
+    # entry cells), or failing that in the pool rows closest to the
+    # alive region.  Allocating right arrivals from the global highest
+    # free rows instead stacks them at the deep end of the dead pool,
+    # exhausting the window's free slots after a few exchanges (and
+    # then silently... loudly dropping arrivals).
+    nf_h = cum[K - 1, 3]
+    free_t_cum = cum[:, 3] - nf_h  # free-rank within the tail half
+    fh = jnp.searchsorted(cum[:K, 3], q[:cap]).astype(jnp.int32)
+    ft = (K + jnp.searchsorted(free_t_cum[K:], q)).astype(jnp.int32)
+    nf_t = nf - nf_h
 
     lane = jnp.arange(cap)
     lvalid = lane < n_left
@@ -713,19 +733,27 @@ def migrate_edges(
     ].set(1.0)
     W = W.at[gt].set(retire_row, mode="drop")
 
-    # insert: left arrivals take the lowest free slots, right arrivals
-    # the highest (freed right-leaver slots, then the tail dead pool);
-    # when both sides together exceed the free count, the right side
-    # keeps its slots and excess left arrivals are dropped + counted
+    # insert: left arrivals take the lowest free head-half slots,
+    # right arrivals the lowest free tail-half slots; left arrivals
+    # beyond the head's free count spill into the tail AFTER the right
+    # side's allocation.  Only arrivals exceeding the combined free
+    # count are dropped + counted.
     vl = lane < n_arr_l
     vr = lane < n_arr_r
-    n_r_used = jnp.minimum(n_arr_r, nf)
+    n_r_used = jnp.minimum(n_arr_r, nf_t)
     ok_r = vr & (lane < n_r_used)
-    ok_l = vl & (lane < nf - n_r_used)
-    dest_l = jnp.where(ok_l, jnp.take(ft_lo, lane, mode="clip"), 2 * K)
-    # right arrival r takes free-rank nf - r  <->  ft_hi[cap - 1 - r]
-    dest_r = jnp.where(
-        ok_r, jnp.take(ft_hi, cap - 1 - lane, mode="clip"), 2 * K
+    dest_r = jnp.where(ok_r, jnp.take(ft, lane, mode="clip"), 2 * K)
+    in_head = lane < nf_h
+    spill = lane - nf_h + n_r_used  # tail free-rank of spilled lefts
+    ok_l = vl & (in_head | (spill < jnp.minimum(nf_t, 2 * cap)))
+    dest_l = jnp.where(
+        ok_l,
+        jnp.where(
+            in_head,
+            jnp.take(fh, lane, mode="clip"),
+            jnp.take(ft, jnp.clip(spill, 0, 2 * cap - 1), mode="clip"),
+        ),
+        2 * K,
     )
     W = W.at[dest_l].set(
         jnp.where(ok_l[:, None], from_left, 0.0), mode="drop"

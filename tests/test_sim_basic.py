@@ -394,3 +394,55 @@ def test_plasma_oscillation_total_energy(ndev):
     # ripples at ~omega_p * dt — a few percent here, not a drift
     assert fe1 > 0.01 * ke0
     assert (ke1 + fe1) == pytest.approx(ke0, rel=0.05)
+
+
+def test_fused_long_run_invariants():
+    """200 steps across many sort periods (R=16), skipped-exchange
+    cadence M=3, edge migration, misfit fallback: no particle is ever
+    lost or double-counted (counters stay zero), every alive particle
+    stays in-domain, and total energy is conserved at f32 level in a
+    field-free drift."""
+    ndev = 2
+    dx = 1.0e-6
+    dt = 0.95 * dx / C
+    nx, npc = 32 * ndev, 64
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(
+        dt=dt, current_deposition=True, migration_capacity=1024,
+        sorted_pipeline=True, fused_pusher=True, fused_block=256,
+        fused_window=24, fused_misfit_capacity=1024,
+        fused_resort_every=16, migration_every=3, migration_window=2048,
+    )
+    spec = SpeciesSpec.electron()
+    sim = Simulation(geom, opts, {"electron": spec}, dtype=jnp.float32)
+    state = sim.shard_particles(initialize(
+        spec, geom, npc,
+        # low density so self-fields stay negligible: a near-pure drift
+        density=lambda x: np.full_like(x, 1.0),
+        ux=lambda x, u, n: np.full_like(x, 1.5) * np.sign(u - 0.5),
+        uy=lambda x, u, n: 0.2 * n,
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=2 * nx * npc // ndev, seed=13,
+        dtype=np.float32,
+    ))
+    E, B, J, rho = sim.init_fields()
+    counters = sim.zero_counters()
+    n0 = int(jnp.sum(state.alive))
+    ke0 = sim.total_kinetic_energy("electron", state)
+
+    species = {"electron": state}
+    t = 0.0
+    key = jax.random.key(5)
+    for block in range(4):  # 4 output blocks of 50 steps
+        E, B, J, rho, species, t, counters = sim.run(
+            E, B, J, rho, species, float(t), jax.random.fold_in(key, block),
+            counters, 50,
+        )
+    st = species["electron"]
+    assert int(counters["electron"]) == 0
+    assert int(jnp.sum(st.alive)) == n0
+    cells = np.asarray(st.cell)
+    alive = np.asarray(st.alive)
+    assert cells[alive].min() >= 0 and cells[alive].max() < geom.n_loc
+    ke = sim.total_kinetic_energy("electron", st)
+    assert ke == pytest.approx(ke0, rel=2e-4)
