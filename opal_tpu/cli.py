@@ -162,6 +162,12 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     # no per-step drift term is needed between maintenance sorts.
     auto_w = _round_up(fused_block // epc_for_w + 16, 8)
     fused_window = int(tpu_opt("fused_window", min(512, max(16, auto_w))))
+    # edge-exchange window: cover the leaver front, which marches
+    # npc * v rows/step through the (row-static) sorted state between
+    # maintenance sorts.  v is unknown at build time, so size for the
+    # CFL worst case (1 cell/step over a resort period).
+    auto_mw = _round_up(epc_for_w * (fused_resort_every + 3), 8)
+    migration_window = int(tpu_opt("migration_window", max(4096, auto_mw)))
     # the window read must fit the per-device field table; shrinking it
     # below the block span only costs misfit-fallback work, not
     # correctness
@@ -195,6 +201,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         fused_window=fused_window,
         fused_resort_every=fused_resort_every,
         migration_every=migration_every,
+        migration_window=migration_window,
     )
 
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
