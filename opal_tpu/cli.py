@@ -148,7 +148,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
     # Mosaic has no f64 path
     fused_default = 1 if dtype == jnp.float32 else 0
     fused_pusher = bool(tpu_opt("fused_pusher", fused_default))
-    fused_block = int(tpu_opt("fused_block", 2048))
+    block_explicit = int(tpu_opt("fused_block", -1))
+    fused_block = block_explicit if block_explicit > 0 else 2048
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
     fused_resort_every = int(tpu_opt("fused_resort_every", 64))
@@ -157,6 +158,23 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         epc_for_w = max(1, int(input_cfg.read_usize("electrons", "npc")))
     except ConfigError:
         epc_for_w = 1
+    if fused_pusher and block_explicit <= 0:
+        # capacities must be block multiples; shrink the block (min
+        # 128) rather than let the rounding inflate a small run's
+        # buffers (and with them every sort/walk/migration pass)
+        try:
+            ne_est = input_cfg.func("electrons", "ne", "x")
+            est = int(
+                _required_capacity(geom, epc_for_w, ne_est)
+                * capacity_factor
+            )
+        except ConfigError:
+            est = 0
+        while (
+            est and fused_block > 128
+            and _round_up(est, fused_block) > est * 1.25
+        ):
+            fused_block //= 2
     # window: block span + stencil/dispersion margin.  The kernel
     # re-anchors every block every step from its own fit-row minima, so
     # no per-step drift term is needed between maintenance sorts.
@@ -195,7 +213,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         migration_capacity=migration_capacity,
         absorption_candidates=absorption_candidates,
         seed=seed,
-        sorted_pipeline=sorted_pipeline or fused_pusher,
+        # NOTE: no coupling to fused_pusher — the fused path manages
+        # its own sorting (maintenance sorts + edge migration) and the
+        # sorted_pipeline option only changes NON-fused species, where
+        # it is measured slower
+        sorted_pipeline=sorted_pipeline,
         fused_pusher=fused_pusher,
         fused_block=fused_block,
         fused_window=fused_window,
@@ -232,7 +254,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, epc, ne) * capacity_factor))
-        if fused_pusher:  # fused kernel needs capacity % block == 0
+        if fused_pusher and cap >= fused_block:
+            # fused kernel needs capacity % block == 0; smaller species
+            # stay un-padded (the kernel is inapplicable and the
+            # unfused ops serve them)
             cap = _round_up(cap, fused_block)
         states["electron"] = initialize(
             especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed, dtype=np_dtype
@@ -258,7 +283,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         uy = input_cfg.func3("ions", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("ions", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, ipc, ni) * capacity_factor))
-        if fused_pusher:  # fused kernel needs capacity % block == 0
+        if fused_pusher and cap >= fused_block:
             cap = _round_up(cap, fused_block)
         specs["ion"] = ispecs
         states["ion"] = initialize(
@@ -371,6 +396,9 @@ def main(argv=None) -> int:
         print("[stimulated emission disabled, running with absorption only]")
     if opt.immobile_photons:
         print("[photon push disabled]")
+    if opt.fused_pusher:
+        fused_on = [n for n in species if sim._fused_applicable(n, species[n])]
+        print(f"[fused pusher: {', '.join(fused_on) if fused_on else 'no applicable species (unfused ops)'}]")
     bi = rp.get("balance_info")
     if bi is not None and bi["imbalance"] > 1.5:
         print(

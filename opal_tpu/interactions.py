@@ -153,7 +153,7 @@ def emit_radiation(sim, species, t, key):
     return {**species, "electron": e, "photon": ph}, overflow
 
 
-def absorb(sim, species, t, key, axis_index=None):
+def absorb(sim, species, t, key, axis_index=None, presorted=False):
     """Photon absorption / stimulated emission pass
     (``interactions.rs:145-340``).
 
@@ -182,13 +182,28 @@ def absorb(sim, species, t, key, axis_index=None):
     # --- cell-sorted electron view ------------------------------------
     # one multi-operand sort carries the pairing table [p4 | chi | w]
     # through the sort network (a permutation gather afterwards is
-    # latency-bound at scale — see deposit_sorted)
-    cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
-    (sorted_cells, order, eg_s, ux_s, uy_s, uz_s, chi_s, w_s) = lax.sort(
-        (cell_key, jnp.arange(n_e, dtype=jnp.int32), e.gamma,
-         e.ux, e.uy, e.uz, e.chi, e.weight),
-        num_keys=1,
-    )
+    # latency-bound at scale — see deposit_sorted).  When the caller
+    # just sorted the electron state (the fused QED path runs the
+    # maintenance sort right after migration, serving both this pass
+    # and the next step's kernel anchors), the sort is skipped: the
+    # alive prefix is strictly cell-ascending and the dead tail's
+    # placeholder cells never exceed n_loc - 1, so the masked key view
+    # is already sorted.
+    if presorted:
+        sorted_cells = jnp.where(e.alive, e.cell, geom.n_loc).astype(
+            jnp.int32
+        )
+        order = jnp.arange(n_e, dtype=jnp.int32)
+        eg_s, ux_s, uy_s, uz_s, chi_s, w_s = (
+            e.gamma, e.ux, e.uy, e.uz, e.chi, e.weight,
+        )
+    else:
+        cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
+        (sorted_cells, order, eg_s, ux_s, uy_s, uz_s, chi_s, w_s) = lax.sort(
+            (cell_key, jnp.arange(n_e, dtype=jnp.int32), e.gamma,
+             e.ux, e.uy, e.uz, e.chi, e.weight),
+            num_keys=1,
+        )
     # segment [start[c], end[c]) of electrons in cell c
     cells = jnp.arange(geom.n_loc, dtype=jnp.int32)
     seg_start = jnp.searchsorted(sorted_cells, cells, side="left")
@@ -279,9 +294,15 @@ def absorb(sim, species, t, key, axis_index=None):
         stim_now = event & ~absorbed_now
 
         # optical depths: decrement by the full block without an event,
-        # else stop at the event column (the reference stops scanning)
-        new_abs = tau_abs - jnp.where(event, take(cum_abs), cum_abs[:, -1])
-        new_st = tau_st - jnp.where(event, take(cum_st), cum_st[:, -1])
+        # else stop at the event column (the reference stops scanning).
+        # The cross sections compute in f64; cast back so an f32 state
+        # under jax_enable_x64 keeps its carry dtype.
+        new_abs = (
+            tau_abs - jnp.where(event, take(cum_abs), cum_abs[:, -1])
+        ).astype(tau_abs.dtype)
+        new_st = (
+            tau_st - jnp.where(event, take(cum_st), cum_st[:, -1])
+        ).astype(tau_st.dtype)
         exp1 = jax.random.exponential(
             jax.random.fold_in(key, 1000 + bi), (2, n_ph), dtype
         )

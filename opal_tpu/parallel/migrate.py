@@ -491,7 +491,9 @@ def migrate_compact(
     return state, overflow + ins_overflow
 
 
-def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
+def sort_state(
+    state: ParticleState, n_loc: int, keep_chi: bool = False
+) -> ParticleState:
     """Local cell re-sort: alive rows ascending by cell, dead rows to
     the tail with in-range placeholder cell ``n_loc - 1``.
 
@@ -513,7 +515,10 @@ def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
     output of the field gather; zeroed, dead rows are masked wherever
     chi is read)."""
     dead = ~state.alive
-    skip = {"prev_x", "gamma", "chi"}
+    # chi is normally a pure output of the next field gather (zeroed,
+    # not sorted); the QED per-step sort runs AFTER the push and BEFORE
+    # emission consumes chi, so there it must ride the sort
+    skip = {"prev_x", "gamma"} if keep_chi else {"prev_x", "gamma", "chi"}
     reduced = dataclasses.replace(
         state,
         cell=jnp.where(dead, n_loc - 1, state.cell).astype(state.cell.dtype),
@@ -545,7 +550,7 @@ def sort_state(state: ParticleState, n_loc: int) -> ParticleState:
         rebuilt["gamma"] = jnp.sqrt(
             1.0 + sorted_st.ux**2 + sorted_st.uy**2 + sorted_st.uz**2
         ).astype(state.gamma.dtype)
-    if state.chi is not None:
+    if state.chi is not None and not keep_chi:
         rebuilt["chi"] = jnp.zeros_like(state.chi)
     return dataclasses.replace(sorted_st, **rebuilt)
 

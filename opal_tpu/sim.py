@@ -562,13 +562,31 @@ class Simulation:
                 }
             species = {**species, name: st}
 
-        # 3-4: QED interactions
+        # 3-4: QED interactions.  The fused QED path re-sorts the
+        # electron species right after migration: ONE sort then serves
+        # both the absorption pass (which otherwise pays its own full
+        # multi-operand sort every step) and the next step's kernel
+        # anchors (so fresh arrivals never accumulate as misfits).
+        qed_on = opt.photon_absorption or opt.photon_emission
+        e_presorted = False
+        if qed_on and "electron" in self.specs and self._fused_applicable(
+            "electron", species["electron"]
+        ):
+            st_e = sort_state(
+                species["electron"], geom.n_loc, keep_chi=True
+            )
+            species = {**species, "electron": st_e}
+            new_anchors["electron"] = F.block_anchors(
+                self._fused_spec("electron"), st_e.cell
+            )
+            e_presorted = True
         if opt.photon_absorption:
             from .interactions import absorb
 
             key, sub = jax.random.split(key)
             res = absorb(
-                self, species, t, jax.random.fold_in(sub, ai), axis_index=ai
+                self, species, t, jax.random.fold_in(sub, ai),
+                axis_index=ai, presorted=e_presorted,
             )
             if self._event_log:
                 species, ovf, (rec, want) = res

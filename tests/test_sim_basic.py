@@ -446,3 +446,67 @@ def test_fused_long_run_invariants():
     assert cells[alive].min() >= 0 and cells[alive].max() < geom.n_loc
     ke = sim.total_kinetic_energy("electron", st)
     assert ke == pytest.approx(ke0, rel=2e-4)
+
+
+def test_fused_presorted_absorption_invariants():
+    """The fused QED path re-sorts electrons after migration and
+    absorb() consumes the sorted state directly (presorted=True).  The
+    candidate-walk order differs from the unfused path (both are valid
+    reference orderings), so the check is physical: emission fires,
+    nothing overflows, every surviving particle is in-domain, and
+    total energy (electron KE + photon energy) is conserved — the
+    static B field does no work, and emission/absorption only move
+    energy between the species."""
+    ndev = 2
+    dx = 1.0e-8
+    dt = 0.95 * dx / C
+    nx, npc = 32 * ndev, 32
+    geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    opts = SimOptions(
+        dt=dt, current_deposition=True, photon_emission=True,
+        photon_absorption=True, migration_capacity=512,
+        fused_pusher=True, fused_block=256, fused_window=32,
+        fused_misfit_capacity=512, absorption_candidates=64,
+        migration_window=1024,
+    )
+    especs = SpeciesSpec.electron()
+    sim = Simulation(
+        geom, opts, {"electron": especs, "photon": SpeciesSpec.photon()},
+        dtype=jnp.float32,
+    )
+    state = sim.shard_particles(initialize(
+        especs, geom, npc,
+        density=lambda x: np.full_like(x, 1.0e3),
+        ux=lambda x, u, n: np.full_like(x, -1000.0),
+        uy=lambda x, u, n: np.zeros_like(x),
+        uz=lambda x, u, n: np.zeros_like(x),
+        dt=dt, capacity_per_device=2 * nx * npc // ndev, seed=7,
+        dtype=np.float32,
+    ))
+    phot = sim.shard_particles(initialize(
+        SpeciesSpec.photon(), geom, 0, lambda x: x * 0,
+        None, None, None, dt, 4096, seed=8, dtype=np.float32,
+    ))
+    E, B, J, rho = sim.init_fields()
+    # strong field: chi ~ 0.5 at gamma 1000 -> plenty of emission, and
+    # the emitted photons then absorb/stimulate against the population
+    b0 = 0.5 * const.CRITICAL_FIELD / (C * 1000.0)
+    B = jax.device_put(jnp.zeros_like(B).at[:, 2].set(b0), B.sharding)
+    counters = sim.zero_counters()
+    ke0 = sim.total_kinetic_energy("electron", state)
+    E, B, J, rho, species, t, counters = sim.run(
+        E, B, J, rho, {"electron": state, "photon": phot}, 0.0,
+        jax.random.key(3), counters, 12
+    )
+    e2, p2 = species["electron"], species["photon"]
+    assert int(counters["photon"]) == 0
+    assert int(counters["electron"]) == 0
+    al_p = np.asarray(p2.alive)
+    assert al_p.sum() > 0  # emission fired
+    cells = np.asarray(e2.cell)[np.asarray(e2.alive)]
+    assert cells.min() >= 0 and cells.max() < geom.n_loc
+    ke = sim.total_kinetic_energy("electron", e2)
+    eph = sim.total_kinetic_energy("photon", p2)
+    # self-consistent current deposition perturbs the (initially zero)
+    # E field a little; tolerate f32-level exchange with the fields
+    assert ke + eph == pytest.approx(ke0, rel=1e-3)
