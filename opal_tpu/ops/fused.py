@@ -28,7 +28,8 @@ Requirements and shape contract
   ``k`` (steps since the last maintenance sort; cells move <= 1
   cell/step under CFL).  Alive particles outside their block window are
   NOT updated and NOT deposited; they are flagged in the ``miss`` output
-  and must be handled by the caller (:func:`misfit_apply`).
+  and handled by the caller's compacted fallback pass
+  (``Simulation._fused_push_deposit``).
 * the field slab is passed as an (n_rows, 8) table: columns
   Ex Ey Ez Bx By Bz 0 0, rows padded by ``PAD`` on both sides so every
   window and deposit row stays in range.

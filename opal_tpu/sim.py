@@ -16,9 +16,13 @@ push (with values identical to the reference's locally-advanced
 ghosts — see the analysis in ``grid.py``), the step body orders
 exchange first without changing semantics.
 
-The steps-between-outputs block runs as ``lax.scan`` inside
+The steps-between-outputs block runs as nested ``lax.scan``s inside
 ``jax.shard_map`` — a whole output interval compiles to one XLA
-program with ICI collectives, replacing per-step MPI calls.
+program with ICI collectives, replacing per-step MPI calls.  The
+migration exchange closes every M-step block and the maintenance sort
+opens every R-step period as STATICALLY scheduled scan phases; no
+per-step ``lax.cond`` ever carries particle state (each such cond
+measured 2-7 ms/step of conditional-buffer copies at 8.4M rows).
 """
 
 from __future__ import annotations
@@ -92,14 +96,13 @@ class SimOptions:
     # on TPU, blocked summation order) or 'scatter' (XLA scatter-add,
     # index summation order)
     deposit_method: str = "sorted"
-    # sorted particle pipeline: migration keeps every species strictly
-    # cell-sorted (migrate_sorted), which makes deposition sort-free
-    # and bounds per-block cell windows for a fused push kernel.
-    # Default OFF: measured on v5e, the full-length packed row gather
-    # it pays (argsort + (N,K) permutation) costs more than the
-    # 6-operand deposition payload sort it saves (134 vs 61 ms/step at
-    # 2.1M particles).  It becomes profitable only once a fused
-    # gather+push+deposit kernel exploits the bounded cell windows.
+    # sorted particle pipeline for NON-fused species: migration keeps
+    # them strictly cell-sorted (migrate_sorted), making deposition
+    # sort-free.  Default OFF: measured on v5e, the full-length packed
+    # row gather it pays costs more than the deposition payload sort
+    # it saves (134 vs 61 ms/step at 2.1M).  The fused pipeline does
+    # NOT need it — it manages its own maintenance sorts and edge
+    # migration.
     sorted_pipeline: bool = False
     # fused Pallas gather+push+deposit kernel (ops/fused.py) for
     # electron-kind species.  Requires the sorted pipeline (bounded
