@@ -383,6 +383,22 @@ def main(argv=None) -> int:
     steps_bt_output = max(total_steps // max(n_outputs, 1), 1)
 
     ndev = geom.n_devices
+    if jax.process_count() > 1:
+        # Output gathers and checkpointing materialize globally-sharded
+        # arrays with np.asarray, which is only valid when every device
+        # is addressable from this process (single host).  Multi-host
+        # pods need process-local gathers — not implemented; fail loudly
+        # rather than deadlock inside the first output
+        # (docs/input.md "Multi-host operation").
+        print(
+            "opal_tpu: multi-host execution is not supported: output "
+            f"and checkpoint paths require all {ndev} mesh devices to "
+            "be process-addressable (found "
+            f"{jax.process_count()} processes). Run on a single host "
+            "(e.g. one v5e-8) or gather per process externally.",
+            file=sys.stderr,
+        )
+        return 1
     kind = jax.devices()[0].device_kind
     print(
         f"Running {ndev} task{'s' if ndev > 1 else ''} "

@@ -174,8 +174,11 @@ def write_event_log(stream, events, options) -> int:
     n_dev = count.shape[0]
     cap = ring.shape[0] // max(n_dev, 1)
     written = 0
+    dropped = 0
     for d in range(n_dev):
-        rows = ring[d * cap : d * cap + int(count[d])]
+        # count is total events seen; the ring stores at most cap
+        dropped += max(0, int(count[d]) - cap)
+        rows = ring[d * cap : d * cap + min(int(count[d]), cap)]
         for r in rows:
             kind = "abs" if r[13] == 1.0 else "stim"
             if kind == "abs" and not options.extra_absorption_output:
@@ -186,6 +189,11 @@ def write_event_log(stream, events, options) -> int:
             body = " ".join(f"{v:.3e}" for v in r[3:13])
             stream.write(f"{head} {body} {kind}\n")
             written += 1
+    if dropped:
+        stream.write(
+            f"# WARNING: event ring overflow: {dropped} events dropped "
+            f"(capacity {cap}/device; raise control:event_log_capacity)\n"
+        )
     return written
 
 

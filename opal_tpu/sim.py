@@ -595,10 +595,15 @@ class Simulation:
                 species, ovf, (rec, want) = res
                 ring, count = events
                 cap = ring.shape[0]
-                rank = jnp.cumsum(want) - 1 + count
+                # `count` is the TOTAL events seen (may exceed cap);
+                # only min(count, cap) rows are stored.  The writer
+                # surfaces the difference as a counted overflow — drops
+                # are never silent (the reference dumps every event,
+                # interactions.rs:267-289).
+                rank = jnp.cumsum(want) - 1 + jnp.minimum(count, cap)
                 dest = jnp.where(want & (rank < cap), rank, cap)
                 ring = ring.at[dest].set(rec, mode="drop")
-                count = jnp.minimum(count + jnp.sum(want), cap)
+                count = count + jnp.sum(want)
                 events = (ring, count)
             else:
                 species, ovf = res

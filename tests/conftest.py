@@ -20,8 +20,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+import pytest
 
 # The axon TPU plugin pre-configures jax_platforms="axon,cpu"; tests must
 # run on the virtual-device CPU backend regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(items):
+    """Every test not explicitly in the ``physics`` tier is ``unit``,
+    so ``-m unit`` selects the fast tier without per-test annotations."""
+    for item in items:
+        if item.get_closest_marker("physics") is None:
+            item.add_marker(pytest.mark.unit)

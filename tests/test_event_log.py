@@ -150,3 +150,81 @@ def test_event_ring_through_sim_run(capsys):
     assert n == 4 and len(lines) == 4
     assert all(line.endswith(" abs") for line in lines)
     assert all(len(line.split()) == 14 for line in lines)
+
+
+def test_event_ring_overflow_is_counted():
+    """A full ring counts drops and the writer surfaces the loss —
+    drops are never silent (the reference dumps every event,
+    ``interactions.rs:267-289``)."""
+    opts = SimOptions(
+        dt=1.0e-15, photon_absorption=True,
+        extra_absorption_output=True, extra_stimulated_emission_output=True,
+        event_log_capacity=4,
+    )
+    cap = 4
+    # simulate two devices, both having seen 7 events into a 4-slot ring
+    ring = np.zeros((2 * cap, 14))
+    ring[:, 13] = 1.0  # kind = absorbed
+    count = np.array([7, 7], np.int32)
+    buf = io.StringIO()
+    n = write_event_log(buf, (ring, count), opts)
+    text = buf.getvalue()
+    assert n == 2 * cap  # only the stored rows are written
+    assert "overflow" in text and "6 events dropped" in text
+
+
+def test_event_ring_overflow_through_sim_run():
+    """The scanned step keeps counting events past ring capacity."""
+    geom = GridGeometry(nx=32, dx=1e-6, xmin=0.0, n_devices=4)
+    opts = SimOptions(
+        dt=1.0e-17, photon_absorption=True, photon_emission=False,
+        extra_absorption_output=True, extra_stimulated_emission_output=True,
+        event_log_capacity=2, migration_capacity=64,
+        immobile_photons=True,
+    )
+    espec, pspec = SpeciesSpec.electron(), SpeciesSpec.photon()
+    sim = Simulation(geom, opts, {"electron": espec, "photon": pspec})
+
+    gamma = 10.0
+    u_e = -math.sqrt(gamma**2 - 1)
+    n = 16  # 4 alive pairs per device, ring capacity 2
+    e = _state(
+        espec, 4 * n,
+        cell=np.tile(np.arange(4, dtype=np.int32) + 2, 4 * n // 4),
+        weight=np.where(np.arange(4 * n) % 4 < 4, 2.0e10, 0.0),
+        u=np.array([[u_e, 0, 0]] * (4 * n)),
+        gamma=np.full(4 * n, gamma),
+        chi=np.full(4 * n, 1.0),
+        alive=np.full(4 * n, True),
+    )
+    ph = _state(
+        pspec, 4 * n,
+        cell=np.tile(np.arange(4, dtype=np.int32) + 2, 4 * n // 4),
+        weight=np.full(4 * n, 1.0e10),
+        u=np.array([[0.1, 0, 0]] * (4 * n)),
+        gamma=np.full(4 * n, 0.1),
+        chi=np.full(4 * n, 2.0),
+        alive=np.full(4 * n, True),
+        tau_abs=np.full(4 * n, 1e-30),
+        tau_st=np.full(4 * n, 1e30),
+        birth_time=np.zeros(4 * n),
+    )
+    species = {
+        "electron": sim.shard_particles(e),
+        "photon": sim.shard_particles(ph),
+    }
+    E, B, J, rho = sim.init_fields()
+    from opal_tpu import constants as const
+
+    b0 = const.CRITICAL_FIELD / (10.0 * const.SPEED_OF_LIGHT)
+    B = jax.device_put(jnp.zeros_like(B).at[:, 2].set(b0), B.sharding)
+    res = sim.run(
+        E, B, J, rho, species, 0.0, jax.random.key(0), sim.zero_counters(), 2
+    )
+    events = res[7]
+    counts = np.asarray(events[1])
+    # every device absorbed more photons than the ring holds
+    assert (counts > 2).any()
+    buf = io.StringIO()
+    write_event_log(buf, events, opts)
+    assert "overflow" in buf.getvalue()

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.physics
+
 from opal_tpu import constants as const
 from opal_tpu.grid import GridGeometry
 from opal_tpu.sim import SimOptions, Simulation
