@@ -219,6 +219,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         # it is measured slower
         sorted_pipeline=sorted_pipeline,
         fused_pusher=fused_pusher,
+        packed_fused=bool(tpu_opt("packed_fused", 1)),
         fused_block=fused_block,
         fused_window=fused_window,
         fused_resort_every=fused_resort_every,

@@ -129,6 +129,27 @@ def _flux(x_i, x_f):
     )
 
 
+def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
+    """Select-sum field gather over the W-cell window (staggered
+    b-spline taps, ``yee.rs:499-529``)."""
+    W = spec.window
+    win = eb_ref[pl.ds(base, W), :]       # (W, 8): Ex Ey Ez Bx By Bz 0 0
+    d = relf + x
+    Ex = jnp.zeros_like(x); Ey = jnp.zeros_like(x); Ez = jnp.zeros_like(x)
+    Bx = jnp.zeros_like(x); By = jnp.zeros_like(x); Bz = jnp.zeros_like(x)
+    for wdx in range(W):
+        ce = _w2(d - wdx)                 # edge taps (Ey, Ez)
+        cc = _w2(d - wdx - 0.5)           # centred taps (Ex, By, Bz)
+        Ex += cc * win[wdx, 0]
+        Ey += ce * win[wdx, 1]
+        Ez += ce * win[wdx, 2]
+        By += cc * win[wdx, 4]
+        Bz += cc * win[wdx, 5]
+        Bx += jnp.where(rel == wdx, win[wdx, 3], 0.0)
+    return (Ex * fitf, Ey * fitf, Ez * fitf,
+            Bx * fitf, By * fitf, Bz * fitf)
+
+
 def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
             ux_ref, uy_ref, uz_ref, g_ref, q_ref, work_ref,
             eb_ref,
@@ -138,7 +159,6 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     W = spec.window
     dt, dx = spec.dt, spec.dx
     C = const.SPEED_OF_LIGHT
-    alpha = spec.charge * dt / (2.0 * spec.mass * C)
 
     b = pl.program_id(0)
     base = c0_ref[b]
@@ -160,22 +180,67 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     upd = fit & (q != 0.0)
 
     # ---- field gather: select-sum over the W-cell window ------------
-    win = eb_ref[pl.ds(base, W), :]       # (W, 8): Ex Ey Ez Bx By Bz 0 0
-    d = relf + x
-    Ex = jnp.zeros_like(x); Ey = jnp.zeros_like(x); Ez = jnp.zeros_like(x)
-    Bx = jnp.zeros_like(x); By = jnp.zeros_like(x); Bz = jnp.zeros_like(x)
-    for wdx in range(W):
-        ce = _w2(d - wdx)                 # edge taps (Ey, Ez)
-        cc = _w2(d - wdx - 0.5)           # centred taps (Ex, By, Bz)
-        Ex += cc * win[wdx, 0]
-        Ey += ce * win[wdx, 1]
-        Ez += ce * win[wdx, 2]
-        By += cc * win[wdx, 4]
-        Bz += cc * win[wdx, 5]
-        Bx += jnp.where(rel == wdx, win[wdx, 3], 0.0)
     fitf = fit.astype(F32)
-    Ex *= fitf; Ey *= fitf; Ez *= fitf; Bx *= fitf; By *= fitf; Bz *= fitf
+    Ex, Ey, Ez, Bx, By, Bz = _gather_fields(
+        spec, eb_ref, base, rel, relf, x, fitf
+    )
 
+    (unx, uny, unz, gn, gh, chi, work, vty, vtz) = _push_core(
+        spec, ux, uy, uz, g, work_ref[...], Ex, Ey, Ez, Bx, By, Bz
+    )
+
+    prev = x
+    xn = x + C * unx * dt / (dx * gn)
+    fl = jnp.floor(xn)
+    shift = jnp.where(fl < 0.0, -1, jnp.where(fl > 0.0, 1, 0)).astype(
+        cell.dtype
+    )
+    celln = cell + shift
+    xn = xn - fl
+    prevn = prev - fl
+
+    ncell_ref[...] = jnp.where(upd, celln, cell) - spec.row_off
+    nx_ref[...] = jnp.where(upd, xn, x)
+    npx_ref[...] = jnp.where(upd, prevn, x)
+    ny_ref[...] = jnp.where(upd, y_ref[...] + vty * dt, y_ref[...])
+    nz_ref[...] = jnp.where(upd, z_ref[...] + vtz * dt, z_ref[...])
+    nux_ref[...] = jnp.where(upd, unx, ux)
+    nuy_ref[...] = jnp.where(upd, uny, uy)
+    nuz_ref[...] = jnp.where(upd, unz, uz)
+    ng_ref[...] = jnp.where(upd, gn, g)
+    nwork_ref[...] = jnp.where(upd, work, work_ref[...])
+    # chi and gamma_half feed the OUT-OF-KERNEL optical-depth update
+    # (qed.emission.rate): rate(chi=0) = 0, so zeroed non-updated rows
+    # are naturally inert there
+    ngh_ref[...] = jnp.where(upd, gh, 1.0)
+    nchi_ref[...] = jnp.where(upd, chi, 0.0)
+    miss_ref[...] = miss.astype(F32)
+    # exact per-block minimum of the post-push cell rows (fit rows
+    # only, so stray arrivals cannot drag a block's window away from
+    # its bulk); feeds the NEXT step's window base — cells move <= 1
+    # cell/step under CFL, so base = min - 4 keeps rel >= 3.  Blocks
+    # with no fit rows report n_rows (clipped by the caller; every row
+    # is then dead or already a misfit).
+    amin_ref[pl.ds(b, 1), :] = jnp.full(
+        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
+    )
+
+    # ---- deposit: one-hot batched matmul over the window ------------
+    if spec.dep_skip:
+        return
+    qd = jnp.where(upd, q, 0.0)
+    _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
+
+
+def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
+               Ex, Ey, Ez, Bx, By, Bz):
+    """The momentum update shared by both kernel layouts.  Returns
+    (unx, uny, unz, gn, gh, chi, work, vty, vtz) — new momentum, new
+    gamma, half-step gamma, quantum parameter, accumulated work, and
+    the transverse velocities that advance y/z."""
+    dt = spec.dt
+    C = const.SPEED_OF_LIGHT
+    alpha = spec.charge * dt / (2.0 * spec.mass * C)
     if spec.pusher == "vay":
         # ---- Vay push (electron.rs:268-330) -------------------------
         vx, vy, vz = C * ux / g, C * uy / g, C * uz / g
@@ -183,7 +248,7 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
         uhy = uy + alpha * (Ey + (vz * Bx - vx * Bz))
         uhz = uz + alpha * (Ez + (vx * By - vy * Bx))
         gh = jnp.sqrt(1.0 + uhx * uhx + uhy * uhy + uhz * uhz)
-        work = work_ref[...] + spec.charge * C * (
+        work = work_in + spec.charge * C * (
             uhx * Ex + uhy * Ey + uhz * Ez
         ) * dt / gh
 
@@ -239,53 +304,22 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
         unz = uplz + alpha * Ez
         un2 = unx * unx + uny * uny + unz * unz
         gn = 1.0 + un2 / (1.0 + jnp.sqrt(1.0 + un2))
-        chi = jnp.zeros_like(x)  # ions discard chi (sim parity)
+        chi = jnp.zeros_like(ux)  # ions discard chi (sim parity)
         gh = gam
-        work = work_ref[...]
+        work = work_in
         # transverse positions advance with the NEW velocity
         # (ion.rs:208-209)
         vty, vtz = C * uny / gn, C * unz / gn
+    return unx, uny, unz, gn, gh, chi, work, vty, vtz
 
-    prev = x
-    xn = x + C * unx * dt / (dx * gn)
-    fl = jnp.floor(xn)
-    shift = jnp.where(fl < 0.0, -1, jnp.where(fl > 0.0, 1, 0)).astype(
-        cell.dtype
-    )
-    celln = cell + shift
-    xn = xn - fl
-    prevn = prev - fl
 
-    ncell_ref[...] = jnp.where(upd, celln, cell) - spec.row_off
-    nx_ref[...] = jnp.where(upd, xn, x)
-    npx_ref[...] = jnp.where(upd, prevn, x)
-    ny_ref[...] = jnp.where(upd, y_ref[...] + vty * dt, y_ref[...])
-    nz_ref[...] = jnp.where(upd, z_ref[...] + vtz * dt, z_ref[...])
-    nux_ref[...] = jnp.where(upd, unx, ux)
-    nuy_ref[...] = jnp.where(upd, uny, uy)
-    nuz_ref[...] = jnp.where(upd, unz, uz)
-    ng_ref[...] = jnp.where(upd, gn, g)
-    nwork_ref[...] = jnp.where(upd, work, work_ref[...])
-    # chi and gamma_half feed the OUT-OF-KERNEL optical-depth update
-    # (qed.emission.rate): rate(chi=0) = 0, so zeroed non-updated rows
-    # are naturally inert there
-    ngh_ref[...] = jnp.where(upd, gh, 1.0)
-    nchi_ref[...] = jnp.where(upd, chi, 0.0)
-    miss_ref[...] = miss.astype(F32)
-    # exact per-block minimum of the post-push cell rows (fit rows
-    # only, so stray arrivals cannot drag a block's window away from
-    # its bulk); feeds the NEXT step's window base — cells move <= 1
-    # cell/step under CFL, so base = min - 4 keeps rel >= 3.  Blocks
-    # with no fit rows report n_rows (clipped by the caller; every row
-    # is then dead or already a misfit).
-    amin_ref[pl.ds(b, 1), :] = jnp.full(
-        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
-    )
-
-    # ---- deposit: one-hot batched matmul over the window ------------
-    if spec.dep_skip:
-        return
-    qd = jnp.where(upd, q, 0.0)
+def _deposit_block(spec: FusedSpec, base, celln, xn, prevn, qd, uny, unz,
+                   gn, out_ref):
+    """One block's charge-conserving deposition (one-hot batched MXU
+    matmul over the window), accumulated into the (n_rows, 16) slab."""
+    W = spec.window
+    dt, dx = spec.dt, spec.dx
+    C = const.SPEED_OF_LIGHT
     vmy = C * uny / gn
     vmz = C * unz / gn
     w_m1 = _w2(1.0 + xn)
@@ -457,3 +491,217 @@ def misfit_compact(miss, capacity):
     ).astype(jnp.int32)
     total = R[-1]
     return table, jnp.maximum(total - capacity, 0)
+
+
+# ----------------------------------------------------------------------
+# Packed-layout fast path
+# ----------------------------------------------------------------------
+#
+# The column-per-array kernel above moves ~24 separate (RB, 128) block
+# DMAs per grid step (11 in + 13 out); at block = 2048 each is only
+# 8 KB, and the per-step push+IO measured 3.7 ms of a 5.7 ms kernel at
+# 8.4M particles on v5e — dominated by DMA inefficiency, not traffic
+# (the raw bytes are ~1.7 ms at streaming bandwidth).  The packed
+# layout carries the fused species as ONE hot matrix
+#
+#     H: (nblk, 9, RB, 128) f32   cols H_COLS (cell..work)
+#
+# read in a single ~72 KB DMA per block and written the same way, plus
+# a kernel-derived aux matrix
+#
+#     A: (nblk, 4, RB, 128) f32   cols A_COLS (prev_x, chi, gh, miss)
+#
+# that never needs to be read back in (prev_x/chi are re-derived every
+# step; sort_state already rebuilds them).  The weight column stays a
+# separate read-only (nblk, RB, 128) array and ``alive`` is encoded as
+# ``weight > 0`` (an invariant of initialization — species.py:348 —
+# migration retirement and sort placeholders).  tau is handled entirely
+# outside the kernel.
+
+#: hot-matrix columns (kernel input AND output)
+H_COLS = ("cell", "x", "y", "z", "ux", "uy", "uz", "gamma", "work")
+#: aux-matrix columns (kernel output only, re-derived every step)
+A_COLS = ("prev_x", "chi", "gh", "miss")
+
+
+def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
+                   hn_ref, an_ref, amin_ref, out_ref):
+    """Packed-layout variant of :func:`_kernel`: same physics, one
+    monolithic block read (h_ref) and two block writes (hn/an)."""
+    W = spec.window
+    dt, dx = spec.dt, spec.dx
+    C = const.SPEED_OF_LIGHT
+
+    b = pl.program_id(0)
+    base = c0_ref[b]
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros((spec.n_rows, 16), F32)
+
+    cellf = h_ref[0, 0]
+    x = h_ref[0, 1]
+    y = h_ref[0, 2]
+    z = h_ref[0, 3]
+    ux = h_ref[0, 4]
+    uy = h_ref[0, 5]
+    uz = h_ref[0, 6]
+    g = h_ref[0, 7]
+    work_in = h_ref[0, 8]
+    cell = cellf.astype(jnp.int32) + spec.row_off
+    rel = cell - base
+    relf = rel.astype(F32)
+    q = q_ref[0] * F32(spec.charge)
+
+    fit = (rel >= 3) & (rel <= W - 4)
+    miss = (q != 0.0) & ~fit
+    upd = fit & (q != 0.0)
+
+    fitf = fit.astype(F32)
+    Ex, Ey, Ez, Bx, By, Bz = _gather_fields(
+        spec, eb_ref, base, rel, relf, x, fitf
+    )
+    (unx, uny, unz, gn, gh, chi, work, vty, vtz) = _push_core(
+        spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz
+    )
+
+    prev = x
+    xn = x + C * unx * dt / (dx * gn)
+    fl = jnp.floor(xn)
+    shift = jnp.where(fl < 0.0, -1, jnp.where(fl > 0.0, 1, 0)).astype(
+        jnp.int32
+    )
+    celln = cell + shift
+    xn = xn - fl
+    prevn = prev - fl
+
+    hn_ref[0, 0] = jnp.where(
+        upd, (celln - spec.row_off).astype(F32), cellf
+    )
+    hn_ref[0, 1] = jnp.where(upd, xn, x)
+    hn_ref[0, 2] = jnp.where(upd, y + vty * dt, y)
+    hn_ref[0, 3] = jnp.where(upd, z + vtz * dt, z)
+    hn_ref[0, 4] = jnp.where(upd, unx, ux)
+    hn_ref[0, 5] = jnp.where(upd, uny, uy)
+    hn_ref[0, 6] = jnp.where(upd, unz, uz)
+    hn_ref[0, 7] = jnp.where(upd, gn, g)
+    hn_ref[0, 8] = jnp.where(upd, work, work_in)
+    an_ref[0, 0] = jnp.where(upd, prevn, x)
+    an_ref[0, 1] = jnp.where(upd, chi, 0.0)
+    an_ref[0, 2] = jnp.where(upd, gh, 1.0)
+    an_ref[0, 3] = miss.astype(F32)
+    amin_ref[pl.ds(b, 1), :] = jnp.full(
+        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
+    )
+
+    if spec.dep_skip:
+        return
+    qd = jnp.where(upd, q, 0.0)
+    _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
+
+
+def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
+                              *, interpret=False):
+    """Packed-layout driver: H (nblk, 9, RB, 128), weight
+    (nblk, RB, 128), anchors (nblk,) i32.  Returns
+    (H_new, A_new, out_slab, anchors_next) — aux cols per A_COLS."""
+    nblk, _, RB, _ = H.shape
+    out_shapes = (
+        jax.ShapeDtypeStruct(H.shape, F32),
+        jax.ShapeDtypeStruct((nblk, len(A_COLS), RB, 128), F32),
+        jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
+        jax.ShapeDtypeStruct((spec.n_rows, 16), F32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, len(H_COLS), RB, 128), lambda i, c: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, len(A_COLS), RB, 128), lambda i, c: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    H_new, A_new, amin, out_slab = pl.pallas_call(
+        functools.partial(_kernel_packed, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((1, len(H_COLS), RB, 128),
+                             lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RB, 128), lambda i, c: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(anchors.astype(jnp.int32), H, weight, eb_rows)
+    anchors_next = jnp.clip(
+        amin[:, 0] - 4, 2, spec.n_rows - spec.window - 2
+    ).astype(jnp.int32)
+    return H_new, A_new, out_slab, anchors_next
+
+
+class PackedState(NamedTuple):
+    """Fused-species state in the packed hot/aux layout (see module
+    notes above).  ``tau`` is only present for electron species and is
+    handled entirely outside the kernel (sort payload + migration
+    window rows)."""
+
+    h: jnp.ndarray            # (nblk, len(H_COLS), RB, 128) f32
+    aux: jnp.ndarray          # (nblk, len(A_COLS), RB, 128) f32
+    weight: jnp.ndarray       # (nblk, RB, 128) f32; alive == weight > 0
+    tau: jnp.ndarray | None   # (n,) or None
+
+
+def pack_fused(st, block: int) -> PackedState:
+    """ParticleState (electron/ion fused contract) -> PackedState."""
+    n = st.x.shape[0]
+    nblk = n // block
+    RB = block // 128
+    to4 = lambda a: a.astype(F32).reshape(nblk, RB, 128)
+    zero = jnp.zeros((nblk, RB, 128), F32)
+    hc = dict(
+        cell=to4(st.cell), x=to4(st.x), y=to4(st.y), z=to4(st.z),
+        ux=to4(st.ux), uy=to4(st.uy), uz=to4(st.uz), gamma=to4(st.gamma),
+        work=to4(st.work) if st.work is not None else zero,
+    )
+    ac = dict(
+        prev_x=to4(st.prev_x),
+        chi=to4(st.chi) if st.chi is not None else zero,
+        gh=jnp.ones((nblk, RB, 128), F32),
+        miss=zero,
+    )
+    return PackedState(
+        h=jnp.stack([hc[c] for c in H_COLS], axis=1),
+        aux=jnp.stack([ac[c] for c in A_COLS], axis=1),
+        weight=to4(jnp.where(st.alive, st.weight, 0.0)),
+        tau=st.tau,
+    )
+
+
+def unpack_fused(ps: PackedState, template):
+    """PackedState -> ParticleState with the template's dtypes.  The
+    alive mask is decoded from weight > 0 (see layout notes)."""
+    import dataclasses
+
+    n = template.x.shape[0]
+    flat = lambda a: a.reshape(n)
+    w = flat(ps.weight).astype(template.weight.dtype)
+    rep = dict(
+        cell=flat(ps.h[:, 0]).astype(template.cell.dtype),
+        x=flat(ps.h[:, 1]), y=flat(ps.h[:, 2]), z=flat(ps.h[:, 3]),
+        ux=flat(ps.h[:, 4]), uy=flat(ps.h[:, 5]), uz=flat(ps.h[:, 6]),
+        gamma=flat(ps.h[:, 7]),
+        prev_x=flat(ps.aux[:, 0]),
+        weight=w, alive=w > 0,
+    )
+    if template.work is not None:
+        rep["work"] = flat(ps.h[:, 8])
+    if template.chi is not None:
+        rep["chi"] = flat(ps.aux[:, 1])
+    if template.tau is not None:
+        rep["tau"] = ps.tau
+    return dataclasses.replace(template, **rep)

@@ -631,10 +631,6 @@ def migrate_edges(
 
     Reference: sort + splice + ssend/recv (src/particle/mod.rs:284-375).
     """
-    from ..ops.deposit import _cumsum_cols
-
-    n_loc, ndev = geom.n_loc, geom.n_devices
-    periodic = geom.left_boundary == "periodic"
     n = state.alive.shape[0]
     K = int(min(window, n // 2))
     cap = int(min(send_capacity, K // 2))
@@ -651,11 +647,37 @@ def migrate_edges(
     ).astype(jnp.int32)
 
     alive_w = _window_rows(state.alive, K, t0)[:, 0]
-    cell_w = _window_rows(state.cell, K, t0)[:, 0]
+    # insurance counts: leavers outside the windows are not exchanged —
+    # count them (one fused full-length reduction)
+    tot_l = jnp.sum(state.alive & (state.cell < 0))
+    tot_r = jnp.sum(state.alive & (state.cell >= geom.n_loc))
+
+    W = pack_state_window(state, K, t0, fdtype)
+    W, overflow = _edges_core(
+        W, alive_w, _column_index(state, "cell"),
+        _column_index(state, "gamma"), geom, axis_name, axis_index,
+        tot_l, tot_r, K, cap,
+    )
+    return unpack_state_window(W, state, K, t0), overflow
+
+
+def _edges_core(W, alive_w, cell_col, gamma_col, geom, axis_name,
+                axis_index, tot_l, tot_r, K, cap):
+    """The edge exchange on a (2K, C) head+tail window matrix ``W``
+    whose rows are particles (column ``cell_col`` is the float cell,
+    ``gamma_col`` the Lorentz factor; retired rows zero everything but
+    gamma).  Shared by :func:`migrate_edges` (ParticleState layout) and
+    :func:`migrate_edges_packed` (fused packed layout).  Returns
+    (W_new, overflow)."""
+    n_loc, ndev = geom.n_loc, geom.n_devices
+    periodic = geom.left_boundary == "periodic"
+    fdtype = W.dtype
+    cell_w = W[:, cell_col]
+
     go_left = alive_w & (cell_w < 0)
     go_right = alive_w & (cell_w >= n_loc)
     if not periodic:
-        g = axis_index * n_loc + cell_w
+        g = cell_w + (axis_index * n_loc).astype(fdtype)
         out_left = g < geom.interior_start
         out_right = g >= geom.interior_end
         deleted = alive_w & (out_left | out_right)
@@ -666,10 +688,6 @@ def migrate_edges(
     gone = go_left | go_right | deleted
     free_after = ~alive_w | gone
 
-    # insurance: leavers outside the windows are not exchanged — count
-    # them (one fused full-length reduction)
-    tot_l = jnp.sum(state.alive & (state.cell < 0))
-    tot_r = jnp.sum(state.alive & (state.cell >= n_loc))
     missed = (
         (tot_l - jnp.sum(go_left)) + (tot_r - jnp.sum(go_right))
         if periodic else
@@ -705,15 +723,11 @@ def migrate_edges(
     nf_t = nf - nf_h
 
     lane = jnp.arange(cap)
-    lvalid = lane < n_left
-    rvalid = lane < n_right
     overflow = (
         jnp.maximum(n_left - cap, 0) + jnp.maximum(n_right - cap, 0)
         + missed
     )
 
-    W = pack_state_window(state, K, t0, fdtype)
-    cell_col = _column_index(state, "cell")
     send_left = jnp.take(W, lt, axis=0, mode="fill", fill_value=0.0)
     send_left = send_left.at[:, cell_col].add(float(n_loc))
     send_right = jnp.take(W, rt, axis=0, mode="fill", fill_value=0.0)
@@ -733,9 +747,7 @@ def migrate_edges(
     # which stays 1 — dead rows still flow through u/gamma divisions
     # (unfused velocity, kernel reads) and 0/0 would seed NaNs that
     # survive multiplication by the zero weight
-    retire_row = jnp.zeros((W.shape[1],), fdtype).at[
-        _column_index(state, "gamma")
-    ].set(1.0)
+    retire_row = jnp.zeros((W.shape[1],), fdtype).at[gamma_col].set(1.0)
     W = W.at[gt].set(retire_row, mode="drop")
 
     # insert: left arrivals take the lowest free head-half slots,
@@ -770,11 +782,7 @@ def migrate_edges(
         jnp.sum(vl.astype(jnp.int32)) + jnp.sum(vr.astype(jnp.int32))
         - jnp.sum(ok_l.astype(jnp.int32)) - jnp.sum(ok_r.astype(jnp.int32))
     )
-
-    return (
-        unpack_state_window(W, state, K, t0),
-        overflow + ins_overflow,
-    )
+    return W, overflow + ins_overflow
 
 
 def pack_state_window(
@@ -815,3 +823,196 @@ def unpack_state_window(
         fields[name] = a
         i += w
     return dataclasses.replace(state, **fields)
+
+
+def migrate_edges_packed(
+    ps,
+    geom: GridGeometry,
+    axis_name: str,
+    axis_index,
+    send_capacity: int,
+    window: int,
+):
+    """:func:`migrate_edges` on the fused packed layout
+    (``ops.fused.PackedState``): the head/tail windows are extracted as
+    whole blocks (block-aligned, so each is one static/dynamic slice of
+    the 4-D hot matrix), the shared :func:`_edges_core` runs the
+    exchange on the (2K, C) window matrix, and the result is written
+    back with one static and one dynamic block-slice update per array.
+
+    ``alive`` is encoded as ``weight > 0`` (the packed-layout
+    invariant); retired rows zero the weight column, which is exactly
+    the dead encoding.
+    """
+    from ..ops.fused import A_COLS, H_COLS
+
+    nblk, CH, RB, _ = ps.h.shape
+    CA = ps.aux.shape[1]
+    block = RB * 128
+    n = nblk * block
+    kb = -(-window // block)
+    if nblk < 2 * kb:
+        # too small for block-aligned non-overlapping windows: the
+        # head+tail windows must cover leavers AND the dead pool, so
+        # run the exchange over the WHOLE array (cheap in this regime —
+        # it only triggers when capacity/device < 2*window rows)
+        return _edges_packed_full(
+            ps, geom, axis_name, axis_index, send_capacity
+        )
+    K = kb * block
+    cap = int(min(send_capacity, K // 2))
+    fdtype = ps.h.dtype
+
+    alive_full = ps.weight > 0.0
+    cell_full = ps.h[:, 0]
+    n_alive = jnp.sum(alive_full.astype(jnp.int32))
+    # block-aligned tail window centred on the alive/dead boundary
+    b0 = jnp.clip((n_alive - K // 2) // block, kb, nblk - kb).astype(
+        jnp.int32
+    )
+    t0 = b0 * block
+    z = jnp.zeros((), jnp.int32)
+
+    head_h = ps.h[:kb]
+    tail_h = lax.dynamic_slice(ps.h, (b0, z, z, z), (kb, CH, RB, 128))
+    head_a = ps.aux[:kb]
+    tail_a = lax.dynamic_slice(ps.aux, (b0, z, z, z), (kb, CA, RB, 128))
+    head_w = ps.weight[:kb]
+    tail_w = lax.dynamic_slice(ps.weight, (b0, z, z), (kb, RB, 128))
+
+    # (2K, C) window matrix: H_COLS + A_COLS + weight [+ tau]
+    col = lambda h4, t4, c: jnp.concatenate(
+        [h4[:, c].reshape(K), t4[:, c].reshape(K)]
+    )
+    cols = [col(head_h, tail_h, c) for c in range(CH)]
+    cols += [col(head_a, tail_a, c) for c in range(CA)]
+    cols.append(
+        jnp.concatenate([head_w.reshape(K), tail_w.reshape(K)])
+    )
+    if ps.tau is not None:
+        cols.append(
+            jnp.concatenate(
+                [ps.tau[:K], lax.dynamic_slice(ps.tau, (t0,), (K,))]
+            ).astype(fdtype)
+        )
+    W = jnp.stack(cols, axis=1)
+    w_col = CH + CA
+    alive_w = W[:, w_col] > 0.0
+
+    tot_l = jnp.sum(alive_full & (cell_full < 0.0))
+    tot_r = jnp.sum(alive_full & (cell_full >= geom.n_loc))
+
+    W, overflow = _edges_core(
+        W, alive_w, H_COLS.index("cell"), H_COLS.index("gamma"),
+        geom, axis_name, axis_index, tot_l, tot_r, K, cap,
+    )
+
+    # write-back: one static + one dynamic block-slice update per array
+    to4 = lambda v: v.reshape(kb, RB, 128)
+    hh = jnp.stack([to4(W[:K, c]) for c in range(CH)], axis=1)
+    th = jnp.stack([to4(W[K:, c]) for c in range(CH)], axis=1)
+    ha = jnp.stack([to4(W[:K, CH + c]) for c in range(CA)], axis=1)
+    ta = jnp.stack([to4(W[K:, CH + c]) for c in range(CA)], axis=1)
+    h = lax.dynamic_update_slice(ps.h.at[:kb].set(hh), th, (b0, z, z, z))
+    aux = lax.dynamic_update_slice(
+        ps.aux.at[:kb].set(ha), ta, (b0, z, z, z)
+    )
+    weight = lax.dynamic_update_slice(
+        ps.weight.at[:kb].set(to4(W[:K, w_col])), to4(W[K:, w_col]),
+        (b0, z, z),
+    )
+    tau = ps.tau
+    if ps.tau is not None:
+        tc = w_col + 1
+        tau = lax.dynamic_update_slice(
+            ps.tau.at[:K].set(W[:K, tc].astype(ps.tau.dtype)),
+            W[K:, tc].astype(ps.tau.dtype), (t0,),
+        )
+    return type(ps)(h=h, aux=aux, weight=weight, tau=tau), overflow
+
+
+def sort_packed(ps, n_loc: int):
+    """:func:`sort_state` on the fused packed layout: one multi-operand
+    payload sort keyed by (cell, sign(ux)) with dead rows (weight <= 0)
+    to the tail under placeholder cell ``n_loc - 1``.  gamma and prev_x
+    are rebuilt (cheaper than riding the sort), chi is zeroed and gh
+    reset — exactly the :func:`sort_state` column policy.  Returns the
+    sorted PackedState."""
+    nblk, CH, RB, _ = ps.h.shape
+    n = nblk * RB * 128
+    flat = lambda a: a.reshape(n)
+    cell = flat(ps.h[:, 0])
+    x = flat(ps.h[:, 1])
+    y = flat(ps.h[:, 2])
+    z = flat(ps.h[:, 3])
+    ux = flat(ps.h[:, 4])
+    uy = flat(ps.h[:, 5])
+    uz = flat(ps.h[:, 6])
+    work = flat(ps.h[:, 8])
+    weight = flat(ps.weight)
+    dead = weight <= 0.0
+    cell = jnp.where(dead, float(n_loc - 1), cell)
+    skey = jnp.where(
+        dead, _BIG,
+        2 * cell.astype(jnp.int32) + (ux > 0.0).astype(jnp.int32),
+    ).astype(jnp.int32)
+    ops = [skey, cell, x, y, z, ux, uy, uz, work, weight]
+    if ps.tau is not None:
+        ops.append(ps.tau.astype(ps.h.dtype))
+    out = lax.sort(tuple(ops), num_keys=1)
+    (cell, x, y, z, ux, uy, uz, work, weight) = out[1:10]
+    gamma = jnp.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+    to4 = lambda a: a.reshape(nblk, RB, 128)
+    h = jnp.stack(
+        [to4(c) for c in (cell, x, y, z, ux, uy, uz, gamma, work)], axis=1
+    )
+    aux = jnp.stack(
+        [to4(x), jnp.zeros_like(to4(x)), jnp.ones_like(to4(x)),
+         jnp.zeros_like(to4(x))], axis=1,
+    )
+    tau = ps.tau
+    if ps.tau is not None:
+        tau = out[10].astype(ps.tau.dtype)
+    return type(ps)(h=h, aux=aux, weight=to4(weight), tau=tau), cell
+
+
+def _edges_packed_full(ps, geom, axis_name, axis_index, send_capacity):
+    """Whole-array fallback of :func:`migrate_edges_packed` for states
+    too small for block-aligned windows: head = rows [0, n/2), tail =
+    rows [n/2, n) — everything is covered, nothing can be missed by
+    window placement."""
+    from ..ops.fused import A_COLS, H_COLS
+
+    nblk, CH, RB, _ = ps.h.shape
+    CA = ps.aux.shape[1]
+    n = nblk * RB * 128
+    K = n // 2
+    cap = int(min(send_capacity, K // 2))
+    fdtype = ps.h.dtype
+
+    flat = lambda a: a.reshape(n)
+    cols = [flat(ps.h[:, c]) for c in range(CH)]
+    cols += [flat(ps.aux[:, c]) for c in range(CA)]
+    cols.append(flat(ps.weight))
+    if ps.tau is not None:
+        cols.append(ps.tau.astype(fdtype))
+    W = jnp.stack(cols, axis=1)
+    w_col = CH + CA
+    alive_w = W[:, w_col] > 0.0
+    cell_full = W[:, 0]
+    tot_l = jnp.sum(alive_w & (cell_full < 0.0))
+    tot_r = jnp.sum(alive_w & (cell_full >= geom.n_loc))
+
+    W, overflow = _edges_core(
+        W, alive_w, H_COLS.index("cell"), H_COLS.index("gamma"),
+        geom, axis_name, axis_index, tot_l, tot_r, K, cap,
+    )
+
+    to4 = lambda v: v.reshape(nblk, RB, 128)
+    h = jnp.stack([to4(W[:, c]) for c in range(CH)], axis=1)
+    aux = jnp.stack([to4(W[:, CH + c]) for c in range(CA)], axis=1)
+    weight = to4(W[:, w_col])
+    tau = ps.tau
+    if ps.tau is not None:
+        tau = W[:, w_col + 1].astype(ps.tau.dtype)
+    return type(ps)(h=h, aux=aux, weight=weight, tau=tau), overflow
