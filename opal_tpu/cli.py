@@ -44,7 +44,8 @@ def _round_up(n: int, m: int = 8) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
-def build(path: Path, n_devices: int | None = None, dtype=None):
+def build(path: Path, n_devices: int | None = None, dtype=None,
+          field_dtype=None):
     """Parse an input file and construct the Simulation plus initial
     state.  Returns (sim, state-dict, run-parameters)."""
     import jax
@@ -137,6 +138,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if field_dtype is None:
+        field_dtype = dtype
     capacity_factor = tpu_opt("capacity_factor", 1.5)
     migration_capacity = int(tpu_opt("migration_capacity", 16384))
     absorption_candidates = int(tpu_opt("absorption_candidates", 256))
@@ -319,7 +322,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None):
         capacities["photon"] = pcap
 
     sim = Simulation(
-        geom, options, specs, laser_y=laser_y, laser_z=laser_z, dtype=dtype
+        geom, options, specs, laser_y=laser_y, laser_z=laser_z,
+        dtype=dtype, field_dtype=field_dtype,
     )
     species = {k: sim.shard_particles(v) for k, v in states.items()}
 
@@ -341,7 +345,13 @@ def main(argv=None) -> int:
     parser.add_argument("--devices", type=int, default=None,
                         help="number of mesh devices (default: all)")
     parser.add_argument("--f32", action="store_true",
-                        help="run in float32 (default float64)")
+                        help="run everything in float32 (bench mode)")
+    parser.add_argument("--f64", action="store_true",
+                        help="run everything in float64 (parity mode; "
+                             "the unfused ops — Mosaic has no f64). "
+                             "Default is MIXED precision: f32 particles "
+                             "on the fused Pallas path + f64 fields/"
+                             "energy integration")
     parser.add_argument("--resume", action="store_true",
                         help="resume from checkpoint.npz in the output dir")
     parser.add_argument("--profile", metavar="DIR", default=None,
@@ -361,7 +371,12 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
+    if args.f32 and args.f64:
+        print("opal_tpu: --f32 and --f64 are mutually exclusive",
+              file=sys.stderr)
+        return 1
     if not args.f32:
+        # mixed (default) and --f64 both integrate fields in f64
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -371,7 +386,8 @@ def main(argv=None) -> int:
     try:
         sim, species, rp = build(
             path, n_devices=args.devices,
-            dtype=jnp.float32 if args.f32 else jnp.float64,
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+            field_dtype=jnp.float32 if args.f32 else jnp.float64,
         )
     except (ConfigError, ValueError) as exc:
         print(f"opal_tpu: {exc}", file=sys.stderr)

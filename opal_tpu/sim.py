@@ -171,13 +171,21 @@ class Simulation:
         laser_y: Callable | None = None,
         laser_z: Callable | None = None,
         dtype=jnp.float64,
+        field_dtype=None,
     ):
+        """``dtype`` is the particle-state precision; ``field_dtype``
+        (default: same) the grid-field precision.  Mixed precision —
+        f32 particles + f64 fields — keeps the fused Pallas path (f32
+        only) while the Yee integration, current accumulation and
+        energy sums run in f64 (SURVEY §7 item 7).  Requires
+        jax_enable_x64 when field_dtype is f64."""
         self.geom = geom
         self.options = options
         self.specs = dict(species)
         self.mesh = mesh if mesh is not None else make_mesh(geom.n_devices)
         self.dtype = dtype
-        zero = lambda t, x: jnp.zeros((), dtype)
+        self.field_dtype = field_dtype if field_dtype is not None else dtype
+        zero = lambda t, x: jnp.zeros((), self.field_dtype)
         self.laser_y = laser_y or zero
         self.laser_z = laser_z or zero
         self._run = jax.jit(self._build_run(), static_argnames=("nsteps",))
@@ -211,6 +219,9 @@ class Simulation:
         spec = self.specs[name]
         idx = st.cell + HALO
         Ep, Bp = fields_at(E_slab, B_slab, idx, st.x)
+        # mixed precision: particles advance in their own dtype
+        Ep = Ep.astype(st.x.dtype)
+        Bp = Bp.astype(st.x.dtype)
 
         if spec.kind == "electron":
             res = vay_push(
@@ -403,6 +414,8 @@ class Simulation:
                 spec.charge
             )
             Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
+            Ep = Ep.astype(st.x.dtype)
+            Bp = Bp.astype(st.x.dtype)
             if spec.kind == "electron":
                 res = vay_push(
                     m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
@@ -498,6 +511,8 @@ class Simulation:
         m_w = jnp.where(valid, ps.weight[blk, sub, lane], 0.0)
         m_q = m_w * jnp.float32(spec.charge)
         Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
+        Ep = Ep.astype(jnp.float32)
+        Bp = Bp.astype(jnp.float32)
         if spec.kind == "electron":
             res = vay_push(
                 m_cell, m_x, rows[:, 2], rows[:, 3], m_u, m_g,
@@ -974,7 +989,7 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def init_fields(self):
-        return zero_fields(self.geom, self.mesh, self.dtype)
+        return zero_fields(self.geom, self.mesh, self.field_dtype)
 
     def initialize_fields(self, E, B, J, rho, species):
         """Electrostatic/magnetostatic field setup from the initial
