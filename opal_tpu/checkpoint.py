@@ -28,7 +28,8 @@ FILENAME = "checkpoint.npz"
 
 
 def save(directory, step_index: int, t: float, E, B, J, rho, species,
-         key, counters, n_devices: int | None = None) -> Path:
+         key, counters, n_devices: int | None = None,
+         n_loc: int | None = None, replicated: bool = False) -> Path:
     """Snapshot the full simulation state.  All arrays are pulled to
     host; the write is atomic (tmp file + rename)."""
     import jax
@@ -55,6 +56,8 @@ def save(directory, step_index: int, t: float, E, B, J, rho, species,
             "t": float(t),
             "species": sorted(species.keys()),
             "n_devices": None if n_devices is None else int(n_devices),
+            "n_loc": None if n_loc is None else int(n_loc),
+            "replicated": bool(replicated),
         }
     )
     arrays["manifest"] = np.frombuffer(manifest.encode(), dtype=np.uint8)
@@ -101,15 +104,22 @@ def load(directory, sim):
             f"checkpoint grid has {arrays['E'].shape[0]} cells; "
             f"configuration expects {sim.geom.n_ext}"
         )
+    new_ndev = sim.mesh.shape["x"]
+    replicated = getattr(sim.options, "replicate_fields", False)
     ckpt_ndev = manifest.get("n_devices")
-    if ckpt_ndev is not None and ckpt_ndev != sim.geom.n_devices:
+    ckpt_nloc = manifest.get("n_loc")
+    reshard = ckpt_ndev is not None and ckpt_ndev != new_ndev
+    if reshard and ckpt_nloc is None:
         raise ValueError(
-            f"checkpoint was written on {ckpt_ndev} devices; particle "
-            f"block layout cannot be resumed on {sim.geom.n_devices}"
+            f"checkpoint was written on {ckpt_ndev} devices without a "
+            f"recorded n_loc; cannot reshard onto {new_ndev}"
         )
 
     def put_field(a, ndim1=False):
-        spec = P("x") if ndim1 else P("x", None)
+        if replicated:
+            spec = P(None) if ndim1 else P(None, None)
+        else:
+            spec = P("x") if ndim1 else P("x", None)
         return jax.device_put(
             jnp.asarray(a), NamedSharding(sim.mesh, spec)
         )
@@ -125,6 +135,11 @@ def load(directory, sim):
             f.name: arrays.get(f"{name}/{f.name}")
             for f in dataclasses.fields(ParticleState)
         }
+        if reshard:
+            fields = _reshard_species(
+                fields, name, ckpt_ndev, new_ndev, ckpt_nloc,
+                sim.geom.n_loc, sim.options,
+            )
         species[name] = sim.shard_particles(ParticleState(**fields))
 
     itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
@@ -136,3 +151,86 @@ def load(directory, sim):
     return (
         manifest["step"], manifest["t"], E, B, J, rho, species, key, counters
     )
+
+
+def _dead_default(fname: str, is_photon: bool) -> float:
+    """Dead-slot fill values (must match species._empty_fields)."""
+    if fname in ("tau", "tau_abs", "tau_st"):
+        return np.inf
+    if fname == "birth_time":
+        return -np.inf
+    if fname == "gamma":
+        return 0.0 if is_photon else 1.0
+    return 0.0
+
+
+def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
+                     options):
+    """Re-chunk one species' per-device block layout onto a different
+    device count, host-side (the resharding resume the reference never
+    needed — it has no checkpoints at all, SURVEY §5).
+
+    Domain mode: the cell column is device-local, so rows are re-bucketed
+    by their global extended cell (g = old_dev * old_n_loc + cell) and
+    reindexed to the new decomposition.  Replicated mode
+    (old_nloc == new_nloc): cells are global; alive rows are re-split
+    into equal-count contiguous chunks.
+    """
+    alive = np.asarray(fields["alive"])
+    n_old = alive.shape[0]
+    old_cap = n_old // max(old_ndev, 1)
+    old_dev = np.arange(n_old) // max(old_cap, 1)
+    cell = np.asarray(fields["cell"])
+    is_photon = fields.get("tau_abs") is not None
+
+    if old_nloc == new_nloc:
+        # replicated layout: even re-chunk by alive order
+        alive_idx = np.flatnonzero(alive)
+        chunk = -(-alive_idx.size // new_ndev) if alive_idx.size else 0
+        dev_of = (
+            np.arange(alive_idx.size) // max(chunk, 1)
+            if alive_idx.size else np.zeros(0, np.int64)
+        )
+        new_cell = cell
+    else:
+        g = old_dev * old_nloc + cell
+        dev_all = np.clip(g // new_nloc, 0, new_ndev - 1)
+        new_cell = (g - dev_all * new_nloc).astype(cell.dtype)
+        alive_idx = np.flatnonzero(alive)
+        dev_of = dev_all[alive_idx]
+
+    counts = np.bincount(dev_of, minlength=new_ndev)
+    new_cap = int(counts.max()) if counts.size else 1
+    new_cap = max(-(-new_cap * 5 // 4) // 128 * 128 + 128, 128)
+    if options.fused_pusher and new_cap >= options.fused_block:
+        blk = options.fused_block
+        new_cap = -(-new_cap // blk) * blk
+
+    order = np.argsort(dev_of, kind="stable")
+    rows = alive_idx[order]
+    slot = np.empty(rows.size, np.int64)
+    start = 0
+    for d in range(new_ndev):
+        cnt = counts[d] if d < counts.size else 0
+        slot[start : start + cnt] = np.arange(cnt)
+        start += cnt
+    dest = np.sort(dev_of, kind="stable") * new_cap + slot
+
+    out = {}
+    for fname, a in fields.items():
+        if a is None:
+            out[fname] = None
+            continue
+        a = np.asarray(a)
+        new = np.full(
+            (new_ndev * new_cap,) + a.shape[1:],
+            _dead_default(fname, is_photon), a.dtype,
+        )
+        src = new_cell if fname == "cell" else a
+        new[dest] = src[rows]
+        if fname == "alive":
+            new = new.astype(bool)
+            new[...] = False
+            new[dest] = True
+        out[fname] = new
+    return out

@@ -21,7 +21,7 @@ from .config import Config, ConfigError
 from .diagnostics import output as out
 from .diagnostics.progress import ettc, pretty_duration, simulation_time
 from .grid import GridGeometry, balanced_counts, load_imbalance
-from .species import SpeciesSpec, initialize
+from .species import SpeciesSpec, initialize, shard_even
 
 
 def _required_capacity(geom: GridGeometry, npc: int, density) -> int:
@@ -136,6 +136,37 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         left_boundary=left_bdy, right_boundary=right_bdy,
     )
 
+    # replicated-field mode (the TPU load-balancing answer to the
+    # reference's balanced decomposition, grid/mod.rs:157-206): chosen
+    # automatically for strongly nonuniform decks — every device holds
+    # the whole grid and the particles split into equal-count chunks.
+    # tpu: replicate_fields: 0/1 overrides the auto choice.
+    _rep_opt = int(tpu_opt("replicate_fields", -1))
+    if _rep_opt < 0:
+        imb = 1.0
+        if balance and n_devices > 1:
+            try:
+                _epc0 = input_cfg.read_usize("electrons", "npc")
+                if _epc0 > 0:
+                    imb = load_imbalance(
+                        geom, input_cfg.func("electrons", "ne", "x")
+                    )
+            except ConfigError:
+                pass
+        replicate = (
+            imb >= 1.5 and n_devices > 1 and not photon_absorption
+            # the whole field table must fit VMEM for the fused kernel
+            and geom.n_ext <= 80_000
+        )
+    else:
+        replicate = bool(_rep_opt) and n_devices > 1
+    mesh_devices = n_devices
+    if replicate:
+        geom = GridGeometry(
+            nx=nx, dx=dx, xmin=xmin, n_devices=1,
+            left_boundary=left_bdy, right_boundary=right_bdy,
+        )
+
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if field_dtype is None:
@@ -171,6 +202,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                 _required_capacity(geom, epc_for_w, ne_est)
                 * capacity_factor
             )
+            if replicate:
+                # replicated mode shards particles evenly; capacities
+                # are per mesh device
+                est = -(-est // mesh_devices)
         except ConfigError:
             est = 0
         while (
@@ -228,6 +263,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         fused_resort_every=fused_resort_every,
         migration_every=migration_every,
         migration_window=migration_window,
+        replicate_fields=replicate,
     )
 
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
@@ -258,15 +294,32 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, epc, ne) * capacity_factor))
-        if fused_pusher and cap >= fused_block:
-            # fused kernel needs capacity % block == 0; smaller species
-            # stay un-padded (the kernel is inapplicable and the
-            # unfused ops serve them)
-            cap = _round_up(cap, fused_block)
-        states["electron"] = initialize(
-            especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed, dtype=np_dtype
-        )
-        capacities["electron"] = cap
+        if replicate:
+            host = initialize(
+                especs, geom, epc, ne, ux, uy, uz, dt,
+                # single-domain generation capacity: all alive rows
+                _round_up(int(_required_capacity(geom, epc, ne))),
+                seed=seed, dtype=np_dtype,
+            )
+            n_alive = int(np.asarray(host.alive).sum())
+            cap = _round_up(
+                int(-(-n_alive // mesh_devices) * capacity_factor)
+            )
+            if fused_pusher and cap >= fused_block:
+                cap = _round_up(cap, fused_block)
+            states["electron"] = shard_even(host, mesh_devices, cap)
+            capacities["electron"] = cap
+        else:
+            if fused_pusher and cap >= fused_block:
+                # fused kernel needs capacity % block == 0; smaller
+                # species stay un-padded (the kernel is inapplicable
+                # and the unfused ops serve them)
+                cap = _round_up(cap, fused_block)
+            states["electron"] = initialize(
+                especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed,
+                dtype=np_dtype,
+            )
+            capacities["electron"] = cap
     else:
         cap = 8
         states["electron"] = initialize(
@@ -287,13 +340,27 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         uy = input_cfg.func3("ions", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("ions", "uz", ("x", "urand", "nrand"))
         cap = _round_up(int(_required_capacity(geom, ipc, ni) * capacity_factor))
-        if fused_pusher and cap >= fused_block:
-            cap = _round_up(cap, fused_block)
         specs["ion"] = ispecs
-        states["ion"] = initialize(
-            ispecs, geom, ipc, ni, ux, uy, uz, dt, cap, seed=seed + 1,
-            dtype=np_dtype,
-        )
+        if replicate:
+            host = initialize(
+                ispecs, geom, ipc, ni, ux, uy, uz, dt,
+                _round_up(int(_required_capacity(geom, ipc, ni))),
+                seed=seed + 1, dtype=np_dtype,
+            )
+            n_alive = int(np.asarray(host.alive).sum())
+            cap = _round_up(
+                int(-(-n_alive // mesh_devices) * capacity_factor)
+            )
+            if fused_pusher and cap >= fused_block:
+                cap = _round_up(cap, fused_block)
+            states["ion"] = shard_even(host, mesh_devices, cap)
+        else:
+            if fused_pusher and cap >= fused_block:
+                cap = _round_up(cap, fused_block)
+            states["ion"] = initialize(
+                ispecs, geom, ipc, ni, ux, uy, uz, dt, cap, seed=seed + 1,
+                dtype=np_dtype,
+            )
         capacities["ion"] = cap
 
     if photon_emission or photon_absorption:
@@ -310,10 +377,20 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             ux = input_cfg.func3("photons", "ux", ("x", "urand", "nrand"))
             uy = input_cfg.func3("photons", "uy", ("x", "urand", "nrand"))
             uz = input_cfg.func3("photons", "uz", ("x", "urand", "nrand"))
-            states["photon"] = initialize(
+            host = initialize(
                 pspecs, geom, ppc, nph, ux, uy, uz, dt, pcap, seed=seed + 2,
                 dtype=np_dtype,
             )
+            states["photon"] = (
+                shard_even(host, mesh_devices, pcap) if replicate else host
+            )
+        elif replicate:
+            # empty per-device buffers for emission
+            host = initialize(
+                pspecs, geom, 0, lambda x: x * 0, None, None, None, dt, 8,
+                seed=seed + 2, dtype=np_dtype,
+            )
+            states["photon"] = shard_even(host, mesh_devices, pcap)
         else:
             states["photon"] = initialize(
                 pspecs, geom, 0, lambda x: x * 0, None, None, None, dt, pcap,
@@ -321,8 +398,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             )
         capacities["photon"] = pcap
 
+    from .fields import make_mesh
+
     sim = Simulation(
         geom, options, specs, laser_y=laser_y, laser_z=laser_z,
+        mesh=make_mesh(mesh_devices) if replicate else None,
         dtype=dtype, field_dtype=field_dtype,
     )
     species = {k: sim.shard_particles(v) for k, v in states.items()}
@@ -331,7 +411,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     run_params = dict(
         tstart=tstart, tend=tend, n_outputs=n_outputs,
         total_steps=total_steps, capacities=capacities,
-        balance_info=balance_info, initialise_fields=initialise_fields,
+        balance_info=balance_info, replicated=replicate,
+        initialise_fields=initialise_fields,
         checkpoint=checkpoint_enabled,
     )
     return sim, species, run_params
@@ -399,7 +480,7 @@ def main(argv=None) -> int:
     total_steps = rp["total_steps"]
     steps_bt_output = max(total_steps // max(n_outputs, 1), 1)
 
-    ndev = geom.n_devices
+    ndev = sim.mesh.shape["x"]
     if jax.process_count() > 1:
         # Output gathers and checkpointing materialize globally-sharded
         # arrays with np.asarray, which is only valid when every device
@@ -417,10 +498,16 @@ def main(argv=None) -> int:
         )
         return 1
     kind = jax.devices()[0].device_kind
-    print(
-        f"Running {ndev} task{'s' if ndev > 1 else ''} "
-        f"on {kind} ({geom.n_loc} cells/device)..."
-    )
+    if opt.replicate_fields:
+        print(
+            f"Running {ndev} task{'s' if ndev > 1 else ''} on {kind} "
+            f"(replicated fields, equal-count particle shards)..."
+        )
+    else:
+        print(
+            f"Running {ndev} task{'s' if ndev > 1 else ''} "
+            f"on {kind} ({geom.n_loc} cells/device)..."
+        )
     if not opt.radiation_reaction:
         print("[radiation reaction disabled, using classical emission rates]")
     if not opt.beaming:
@@ -433,7 +520,7 @@ def main(argv=None) -> int:
         fused_on = [n for n in species if sim._fused_applicable(n, species[n])]
         print(f"[fused pusher: {', '.join(fused_on) if fused_on else 'no applicable species (unfused ops)'}]")
     bi = rp.get("balance_info")
-    if bi is not None and bi["imbalance"] > 1.5:
+    if bi is not None and bi["imbalance"] > 1.5 and not opt.replicate_fields:
         print(
             f"[density-balanced split would use cells/task = {bi['counts']}; "
             f"uniform slabs carry a {bi['imbalance']:.2f}x worst-case "
@@ -472,7 +559,8 @@ def main(argv=None) -> int:
 
             checkpoint.save(
                 output_dir, index, float(t), E, B, J, rho, species, key,
-                counters, n_devices=geom.n_devices,
+                counters, n_devices=ndev, n_loc=geom.n_loc,
+                replicated=opt.replicate_fields,
             )
         out.write_grid_data(output_dir, index, E, B, J, rho, geom)
         for skey, spec in sim.specs.items():

@@ -43,10 +43,16 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("x",))
 
 
-def zero_fields(geom: GridGeometry, mesh: Mesh, dtype=jnp.float64):
-    """Sharded, owned-cell field arrays (E, B, J, rho)."""
-    sharding3 = NamedSharding(mesh, P("x", None))
-    sharding1 = NamedSharding(mesh, P("x"))
+def zero_fields(geom: GridGeometry, mesh: Mesh, dtype=jnp.float64,
+                replicated: bool = False):
+    """Sharded (or, in replicated-field mode, device-replicated)
+    owned-cell field arrays (E, B, J, rho)."""
+    if replicated:
+        sharding3 = NamedSharding(mesh, P(None, None))
+        sharding1 = NamedSharding(mesh, P(None))
+    else:
+        sharding3 = NamedSharding(mesh, P("x", None))
+        sharding1 = NamedSharding(mesh, P("x"))
     E = jax.device_put(jnp.zeros((geom.n_ext, 3), dtype), sharding3)
     B = jax.device_put(jnp.zeros((geom.n_ext, 3), dtype), sharding3)
     J = jax.device_put(jnp.zeros((geom.n_ext, 3), dtype), sharding3)

@@ -170,6 +170,8 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     ``x t birth_time chi_g k0 k1 k2 k3 chi_e p0 p1 p2 p3 kind`` with
     kind 1 = absorbed, 2 = stimulated.
     """
+    from .grid import HALO
+
     opt = sim.options
     geom = sim.geom
     e = species["electron"]
@@ -178,6 +180,15 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     n_ph = ph.alive.shape[0]
     K = min(opt.absorption_candidates, n_e)
     dtype = e.x.dtype
+    # halo-aware pairing: with a migration cadence M > 1 particles roam
+    # up to M-1 < HALO cells out of the local domain between exchanges;
+    # bucketing over the extended range [-HALO, n_loc + HALO) keeps
+    # co-located out-of-domain pairs interacting (the reference
+    # migrates every step, mod.rs:247-376, so it never sees this case;
+    # cross-device pairs split across a boundary wait for the next
+    # exchange — at most M-1 steps)
+    pad = HALO
+    n_cells = geom.n_loc + 2 * pad
 
     # --- cell-sorted electron view ------------------------------------
     # one multi-operand sort carries the pairing table [p4 | chi | w]
@@ -190,7 +201,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # placeholder cells never exceed n_loc - 1, so the masked key view
     # is already sorted.
     if presorted:
-        sorted_cells = jnp.where(e.alive, e.cell, geom.n_loc).astype(
+        sorted_cells = jnp.where(e.alive, e.cell + pad, n_cells).astype(
             jnp.int32
         )
         order = jnp.arange(n_e, dtype=jnp.int32)
@@ -198,18 +209,20 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
             e.gamma, e.ux, e.uy, e.uz, e.chi, e.weight,
         )
     else:
-        cell_key = jnp.where(e.alive, e.cell, geom.n_loc).astype(jnp.int32)
+        cell_key = jnp.where(e.alive, e.cell + pad, n_cells).astype(
+            jnp.int32
+        )
         (sorted_cells, order, eg_s, ux_s, uy_s, uz_s, chi_s, w_s) = lax.sort(
             (cell_key, jnp.arange(n_e, dtype=jnp.int32), e.gamma,
              e.ux, e.uy, e.uz, e.chi, e.weight),
             num_keys=1,
         )
-    # segment [start[c], end[c]) of electrons in cell c
-    cells = jnp.arange(geom.n_loc, dtype=jnp.int32)
+    # segment [start[c], end[c]) of electrons in (halo-extended) cell c
+    cells = jnp.arange(n_cells, dtype=jnp.int32)
     seg_start = jnp.searchsorted(sorted_cells, cells, side="left")
     seg_end = jnp.searchsorted(sorted_cells, cells, side="right")
 
-    pcell = jnp.clip(ph.cell, 0, geom.n_loc - 1)
+    pcell = jnp.clip(ph.cell + pad, 0, n_cells - 1)
     p_start = seg_start[pcell]
     p_end = seg_end[pcell]
     overflow_pairs = jnp.sum(

@@ -93,3 +93,33 @@ def fold_currents(J_slab, rho_slab, geom: GridGeometry, axis_name: str, axis_ind
 
 def psum(x, axis_name: str):
     return lax.psum(x, axis_name)
+
+
+def exchange_fields_local(E, B, geom: GridGeometry):
+    """:func:`exchange_fields` for the replicated-field mode: every
+    device holds the WHOLE grid, so the halo is a local wrap (periodic)
+    or zeros (non-periodic) — no collective."""
+    periodic = geom.left_boundary == "periodic"
+    packed = jnp.stack([E, B])
+    if periodic:
+        from_left = packed[:, -HALO:]
+        from_right = packed[:, :HALO]
+    else:
+        from_left = jnp.zeros_like(packed[:, :HALO])
+        from_right = from_left
+    slab = jnp.concatenate([from_left, packed, from_right], axis=1)
+    return slab[0], slab[1]
+
+
+def fold_currents_local(J_slab, rho_slab, geom: GridGeometry):
+    """:func:`fold_currents` for the replicated-field mode: spill wraps
+    locally (periodic) or is dropped (non-periodic).  The caller psums
+    the folded (J, rho) over the mesh to combine the per-device
+    particle shards' deposits."""
+    periodic = geom.left_boundary == "periodic"
+    packed = jnp.concatenate([J_slab, rho_slab[:, None]], axis=1)
+    owned = packed[HALO:-HALO]
+    if periodic:
+        owned = owned.at[:HALO].add(packed[-HALO:])
+        owned = owned.at[-HALO:].add(packed[:HALO])
+    return owned[:, :3], owned[:, 3]

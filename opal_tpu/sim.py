@@ -153,6 +153,18 @@ class SimOptions:
     # cells plus drift (~2-4x particles-per-cell); leavers outside it
     # are counted into the overflow counter, never silently kept.
     migration_window: int = 16384
+    # replicated-field mode (load balancing for nonuniform decks, the
+    # TPU answer to the reference's balanced decomposition,
+    # grid/mod.rs:157-206): every device holds the WHOLE grid (grid
+    # work is tiny next to particles) and the particle population is
+    # split into equal-count contiguous chunks — perfect compute
+    # balance regardless of the density profile.  Deposited currents
+    # are psum'd over the mesh each step; there is no halo exchange
+    # and no particle migration (cells are global; boundary crossings
+    # wrap or kill in place).  Requires geom.n_devices == 1 with the
+    # mesh carrying the real device count.  Incompatible with
+    # photon_absorption (pairing needs spatially-local shards).
+    replicate_fields: bool = False
     # debug/profiling ONLY: skip the misfit fallback pass entirely
     # (misfit rows are then neither pushed nor deposited — wrong
     # physics; used by tools/phase_bench.py to attribute step time)
@@ -183,6 +195,18 @@ class Simulation:
         self.options = options
         self.specs = dict(species)
         self.mesh = mesh if mesh is not None else make_mesh(geom.n_devices)
+        if options.replicate_fields:
+            if geom.n_devices != 1:
+                raise ValueError(
+                    "replicate_fields needs geom.n_devices == 1 (the "
+                    "mesh carries the real device count)"
+                )
+            if options.photon_absorption:
+                raise ValueError(
+                    "replicate_fields is incompatible with "
+                    "photon_absorption: pairing needs spatially-local "
+                    "particle shards (use the domain decomposition)"
+                )
         self.dtype = dtype
         self.field_dtype = field_dtype if field_dtype is not None else dtype
         zero = lambda t, x: jnp.zeros((), self.field_dtype)
@@ -559,6 +583,65 @@ class Simulation:
         ps = F.PackedState(h=h, aux=aux, weight=ps.weight, tau=ps.tau)
         return ps, J_add, rho_add, movf.astype(jnp.int32), anchors_next
 
+    def _wrap_kill(self, st):
+        """Replicated-mode 'migration': cells are global, so boundary
+        crossings wrap in place (periodic) or kill the particle
+        (non-periodic global edge — the reference drops leavers with no
+        neighbour, mod.rs:309-329).  No slots move; a wrapped particle
+        is a kernel misfit until the next maintenance sort.  Returns
+        (state, overflow=0)."""
+        from .ops import fused as F
+
+        geom = self.geom
+        n_loc = geom.n_loc
+        periodic = geom.left_boundary == "periodic"
+        zero = jnp.zeros((), jnp.int32)
+        if isinstance(st, F.PackedState):
+            cell = st.h[:, 0]
+            if periodic:
+                new = (
+                    cell
+                    + jnp.where(cell < 0.0, float(n_loc), 0.0)
+                    - jnp.where(cell >= n_loc, float(n_loc), 0.0)
+                )
+                return (
+                    type(st)(
+                        h=st.h.at[:, 0].set(new), aux=st.aux,
+                        weight=st.weight, tau=st.tau,
+                    ),
+                    zero,
+                )
+            out = (cell < geom.interior_start) | (cell >= geom.interior_end)
+            return (
+                type(st)(
+                    h=st.h, aux=st.aux,
+                    weight=jnp.where(out, 0.0, st.weight), tau=st.tau,
+                ),
+                zero,
+            )
+        if periodic:
+            cell = (
+                st.cell
+                + jnp.where(st.cell < 0, n_loc, 0)
+                - jnp.where(st.cell >= n_loc, n_loc, 0)
+            ).astype(st.cell.dtype)
+            return dataclasses.replace(st, cell=cell), zero
+        out = st.alive & (
+            (st.cell < geom.interior_start) | (st.cell >= geom.interior_end)
+        )
+        return (
+            dataclasses.replace(
+                st,
+                alive=st.alive & ~out,
+                weight=jnp.where(out, 0.0, st.weight),
+                ux=jnp.where(out, 0.0, st.ux),
+                uy=jnp.where(out, 0.0, st.uy),
+                uz=jnp.where(out, 0.0, st.uz),
+                cell=jnp.where(out, 0, st.cell).astype(st.cell.dtype),
+            ),
+            zero,
+        )
+
     def _cadences(self, species):
         """Trace-time (M, R): migration-exchange and maintenance-sort
         cadences in steps.  Both are STATIC — the run schedule nests
@@ -578,8 +661,10 @@ class Simulation:
             # margin); with the exchange at migration-block end the
             # deposit can see M cells of drift, so M <= HALO - 3
             M = min(M, HALO - 3)
-        if opt.photon_emission or opt.photon_absorption:
-            M = 1  # absorption pairing needs in-domain cells
+        # QED no longer forces M = 1: absorption pairs over the
+        # halo-extended cell range [-HALO, n_loc + HALO)
+        # (interactions.absorb), so out-of-domain particles keep
+        # interacting with their co-located partners between exchanges
         R = max(1, opt.fused_resort_every)
         return M, R
 
@@ -593,6 +678,10 @@ class Simulation:
         )
 
         opt = self.options
+
+        if opt.replicate_fields:
+            wk = lambda st, geom, axis_name, ai, cap: self._wrap_kill(st)
+            return wk, wk
 
         def mig_fused(st, geom, axis_name, ai, cap):
             if isinstance(st, F.PackedState):
@@ -665,7 +754,15 @@ class Simulation:
             carry
         )
 
-        E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
+        if opt.replicate_fields:
+            # replicated fields: every device holds the whole grid;
+            # the 'exchange' is a local wrap and the boundary/geometry
+            # index is always 0 (single global domain)
+            fi = jnp.zeros((), jnp.int32)
+            E_slab, B_slab = halo.exchange_fields_local(E, B, geom)
+        else:
+            fi = ai
+            E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
 
         # 1-2: push (+ inline migrate when M == 1), species by species
         # (reference order: electrons, ions, photons — main.rs:240-244)
@@ -824,9 +921,15 @@ class Simulation:
                         opt.dt,
                     )
         # 6: synchronize + boundary load
-        J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
+        if opt.replicate_fields:
+            # combine the per-device particle shards' deposits
+            J, rho = halo.fold_currents_local(J_slab, rho_slab, geom)
+            J = halo.psum(J, "x")
+            rho = halo.psum(rho, "x")
+        else:
+            J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
         E_own, B_own = apply_boundaries(
-            E_slab[HALO:-HALO], B_slab[HALO:-HALO], geom, ai, t, opt.dt,
+            E_slab[HALO:-HALO], B_slab[HALO:-HALO], geom, fi, t, opt.dt,
             self.laser_y, self.laser_z,
         )
         E_slab = E_slab.at[HALO:-HALO].set(E_own)
@@ -835,7 +938,7 @@ class Simulation:
 
         # 7: field advance
         E_slab, B_slab = maxwell.advance(
-            E_slab, B_slab, J_slab, opt.dt, geom.dx, sm_mask(geom, ai)
+            E_slab, B_slab, J_slab, opt.dt, geom.dx, sm_mask(geom, fi)
         )
         E = E_slab[HALO:-HALO]
         B = B_slab[HALO:-HALO]
@@ -968,16 +1071,20 @@ class Simulation:
             sp_specs = self._pspec(species)
             ev_spec = (P("x", None), P("x"))
             out_tail = (ev_spec,) if log else ()
+            if self.options.replicate_fields:
+                f3, f1 = P(None, None), P(None)
+            else:
+                f3, f1 = P("x", None), P("x")
             return jax.shard_map(
                 partial(device_fn, nsteps=nsteps),
                 mesh=self.mesh,
                 check_vma=False,
                 in_specs=(
-                    P("x", None), P("x", None), P("x", None), P("x"),
+                    f3, f3, f3, f1,
                     sp_specs, P(), P(), P(), ev_spec,
                 ),
                 out_specs=(
-                    P("x", None), P("x", None), P("x", None), P("x"),
+                    f3, f3, f3, f1,
                     sp_specs, P(), P(),
                 ) + out_tail,
             )(E, B, J, rho, species, t0, key, counters, events)
@@ -989,7 +1096,10 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def init_fields(self):
-        return zero_fields(self.geom, self.mesh, self.field_dtype)
+        return zero_fields(
+            self.geom, self.mesh, self.field_dtype,
+            replicated=self.options.replicate_fields,
+        )
 
     def initialize_fields(self, E, B, J, rho, species):
         """Electrostatic/magnetostatic field setup from the initial
@@ -1014,18 +1124,29 @@ class Simulation:
                     J_slab, rho_slab, st.cell + HALO, st.x, st.prev_x,
                     macrocharge, self._velocity(spec, st), geom.dx, opt.dt,
                 )
-            J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
-            E, B = electrostatic_init(E, B, J, rho, geom, "x", ai)
+            if opt.replicate_fields:
+                J, rho = halo.fold_currents_local(J_slab, rho_slab, geom)
+                J = halo.psum(J, "x")
+                rho = halo.psum(rho, "x")
+                fi = jnp.zeros((), jnp.int32)
+            else:
+                J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
+                fi = ai
+            E, B = electrostatic_init(E, B, J, rho, geom, "x", fi)
             return E, B, J, rho
 
         sp_specs = self._pspec(species)
+        if opt.replicate_fields:
+            f3, f1 = P(None, None), P(None)
+        else:
+            f3, f1 = P("x", None), P("x")
         return jax.jit(
             jax.shard_map(
                 device_fn,
                 mesh=self.mesh,
                 check_vma=False,
-                in_specs=(P("x", None), P("x", None), sp_specs),
-                out_specs=(P("x", None), P("x", None), P("x", None), P("x")),
+                in_specs=(f3, f3, sp_specs),
+                out_specs=(f3, f3, f3, f1),
             )
         )(E, B, species)
 
@@ -1046,7 +1167,8 @@ class Simulation:
         Zero-capacity when event logging is off (zero cost to thread)."""
         cap = self.options.event_log_capacity if self._event_log else 0
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-        n = self.geom.n_devices
+        n = self.mesh.shape["x"]  # mesh size (geom.n_devices is 1 in
+        # replicated-field mode; the ring is per mesh device)
         ring = jax.device_put(
             jnp.zeros((n * cap, 14), self.dtype),
             NamedSharding(self.mesh, P("x", None)),
@@ -1073,6 +1195,14 @@ class Simulation:
         )
 
     def em_field_energy(self, E, B) -> float:
+        if self.options.replicate_fields:
+            # every device holds the whole (identical) grid
+            return float(
+                em_field_energy_local(
+                    jnp.asarray(E), jnp.asarray(B), self.geom, 0
+                )
+            )
+
         def device_fn(E, B):
             ai = lax.axis_index("x")
             return halo.psum(em_field_energy_local(E, B, self.geom, ai), "x")

@@ -448,3 +448,51 @@ def kinetic_energy_weights(spec: SpeciesSpec, state: ParticleState):
     else:
         ke = state.weight * u2 / (state.gamma + 1.0) * to_joules
     return jnp.where(state.alive, ke, 0.0)
+
+
+def shard_even(state: ParticleState, n_shards: int,
+               capacity_per_shard: int) -> ParticleState:
+    """Re-chunk a single-block host-side state (``initialize`` with a
+    1-device geometry: alive-prefix rows ordered by cell) into
+    ``n_shards`` equal-count contiguous chunks, each padded to
+    ``capacity_per_shard`` — the replicated-field mode's particle
+    decomposition.  Equal-count contiguous chunks of a cell-ordered
+    population ARE the density-balanced split of the reference
+    (``grid/mod.rs:157-206``): every shard holds the same number of
+    macroparticles, spanning however many cells that takes.
+    """
+    import dataclasses as _dc
+
+    alive = np.asarray(state.alive)
+    n_alive = int(alive.sum())
+    if not alive[:n_alive].all():
+        raise ValueError("shard_even needs an alive-prefix layout")
+    chunk = -(-n_alive // n_shards) if n_alive else 0
+    if chunk > capacity_per_shard:
+        raise ValueError(
+            f"shard chunk {chunk} exceeds capacity {capacity_per_shard}"
+        )
+    out = {}
+    for f in _dc.fields(state):
+        a = getattr(state, f.name)
+        if a is None:
+            out[f.name] = None
+            continue
+        a = np.asarray(a)
+        new = np.zeros((n_shards * capacity_per_shard,) + a.shape[1:],
+                       a.dtype)
+        # dead-slot defaults must match _empty_fields
+        if f.name == "gamma":
+            new[...] = 0.0 if state.tau_abs is not None else 1.0
+        elif f.name in ("tau", "tau_abs", "tau_st"):
+            new[...] = np.inf
+        elif f.name == "birth_time":
+            new[...] = -np.inf
+        for s in range(n_shards):
+            lo = min(s * chunk, n_alive)
+            hi = min(lo + chunk, n_alive)
+            new[s * capacity_per_shard : s * capacity_per_shard + hi - lo] = (
+                a[lo:hi]
+            )
+        out[f.name] = new
+    return ParticleState(**out)

@@ -450,7 +450,8 @@ def test_fused_long_run_invariants():
     assert ke == pytest.approx(ke0, rel=2e-4)
 
 
-def test_fused_presorted_absorption_invariants():
+@pytest.mark.parametrize("mig_every", [1, 3])
+def test_fused_presorted_absorption_invariants(mig_every):
     """The fused QED path re-sorts electrons after migration and
     absorb() consumes the sorted state directly (presorted=True).  The
     candidate-walk order differs from the unfused path (both are valid
@@ -458,7 +459,11 @@ def test_fused_presorted_absorption_invariants():
     nothing overflows, every surviving particle is in-domain, and
     total energy (electron KE + photon energy) is conserved — the
     static B field does no work, and emission/absorption only move
-    energy between the species."""
+    energy between the species.
+
+    mig_every=3 exercises the halo-extended absorption pairing
+    (interactions.absorb buckets over [-HALO, n_loc + HALO) so QED no
+    longer forces the per-step exchange)."""
     ndev = 2
     dx = 1.0e-8
     dt = 0.95 * dx / C
@@ -469,7 +474,7 @@ def test_fused_presorted_absorption_invariants():
         photon_absorption=True, migration_capacity=512,
         fused_pusher=True, fused_block=256, fused_window=32,
         fused_misfit_capacity=512, absorption_candidates=64,
-        migration_window=1024,
+        migration_window=1024, migration_every=mig_every,
     )
     especs = SpeciesSpec.electron()
     sim = Simulation(
