@@ -121,6 +121,9 @@ def main(argv=None):
                              "(default on; --no-fused for the unfused "
                              "pipeline)")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
+    parser.add_argument("--no-packed", dest="packed", action="store_false",
+                        default=True, help="bench A/B: column-per-array "
+                        "kernel instead of the packed hot-matrix layout")
     parser.add_argument("--fused-window", type=int, default=0,
                         help="window cells per block (0 = auto: block "
                              "cell span + dispersion slack; the kernel "
@@ -193,6 +196,7 @@ def main(argv=None):
         absorption_candidates=64,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
+        packed_fused=args.packed,
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus
         # dispersion slack — NOT the old + 2*(resort-1) drift term

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from opal_tpu import checkpoint, constants as const
 from opal_tpu.grid import GridGeometry
@@ -47,6 +48,7 @@ def _tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.physics
 def test_checkpoint_roundtrip_continues_identically(tmp_path):
     sim, species = _build()
     E, B, J, rho = sim.init_fields()

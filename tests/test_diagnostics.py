@@ -131,6 +131,7 @@ constants:
 """
 
 
+@pytest.mark.physics
 def test_cli_end_to_end(tmp_path):
     from opal_tpu.cli import main
 

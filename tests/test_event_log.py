@@ -11,6 +11,7 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from opal_tpu.diagnostics.output import write_event_log
 from opal_tpu.grid import GridGeometry
@@ -85,6 +86,7 @@ def test_absorb_returns_event_records():
     assert row[13] == 1.0  # kind = absorbed
 
 
+@pytest.mark.physics
 def test_event_ring_through_sim_run(capsys):
     """The full scanned/shard_mapped step stages events into the ring
     and write_event_log drains them in the reference dump format."""
@@ -173,6 +175,7 @@ def test_event_ring_overflow_is_counted():
     assert "overflow" in text and "6 events dropped" in text
 
 
+@pytest.mark.physics
 def test_event_ring_overflow_through_sim_run():
     """The scanned step keeps counting events past ring capacity."""
     geom = GridGeometry(nx=32, dx=1e-6, xmin=0.0, n_devices=4)

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.physics
+
 from opal_tpu import constants as const
 from opal_tpu.ops import fused
 from opal_tpu.ops.deposit import deposit_sorted

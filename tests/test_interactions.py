@@ -37,6 +37,7 @@ def _fake_sim(geom, **opts):
     )
 
 
+@pytest.mark.physics
 def test_emission_momentum_conservation_and_insert():
     n = 256
     geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
@@ -82,6 +83,7 @@ def test_emission_momentum_conservation_and_insert():
     assert np.all(k0 > 0) and np.all(k0 < gamma.max())
 
 
+@pytest.mark.physics
 def test_emission_energy_min_filter_still_recoils():
     n = 64
     geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
@@ -106,6 +108,7 @@ def test_emission_energy_min_filter_still_recoils():
     assert float(jnp.sum(jnp.abs(species["electron"].u - e.u))) > 0
 
 
+@pytest.mark.physics
 def test_emission_rate_statistics():
     """Photon production in a magnetic field matches rate(chi, gamma)."""
     ndev = 1

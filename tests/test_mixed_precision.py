@@ -80,6 +80,7 @@ def test_mixed_energy_conservation():
     assert int(res_m[6]["electron"]) == 0
 
 
+@pytest.mark.physics
 def test_mixed_qed_step_runs():
     """QED passes (emission + absorption) execute in mixed precision:
     f64 field slabs feed f32 particle kernels without dtype drift."""

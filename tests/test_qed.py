@@ -156,6 +156,7 @@ def test_out_of_range_flags():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.physics
 def test_sample_quantum_energy_distribution():
     """Empirical CDF of sampled u must match the tabulated QUANTUM_CDF."""
     chi_idx = 20  # chi = 1.0 exactly on the table
@@ -181,6 +182,7 @@ def test_sample_quantum_energy_distribution():
         )
 
 
+@pytest.mark.physics
 def test_sample_bounds_and_finiteness():
     rng = np.random.default_rng(2)
     n = 10_000

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.physics
 from scipy import integrate, special
 
 from opal_tpu.qed import emission

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.physics
+
 from opal_tpu import constants as const
 from opal_tpu.fields import make_mesh
 from opal_tpu.grid import GridGeometry
