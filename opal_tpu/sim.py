@@ -517,22 +517,29 @@ class Simulation:
 
         # ---- compacted misfit fallback (see _fused_push_deposit for
         # why it runs unconditionally) --------------------------------
-        nblk, _, RB, _ = H_new.shape
+        nblk, CH, RB, _ = H_new.shape
         block = RB * 128
         n = nblk * block
         miss = A_new[:, F.A_COLS.index("miss")].reshape(n)
         mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
         valid = mtab < n
-        blk = jnp.clip(mtab // block, 0, nblk - 1)
-        sub = jnp.clip((mtab % block) // 128, 0, RB - 1)
-        lane = mtab % 128
-        rows = H_new[blk, :, sub, lane]            # (cap, 9) pre-push
+        # Flat row indices into the contiguous hot matrix.  Indexing
+        # H_new[blk, :, sub, lane] (rows across the middle column dim)
+        # makes XLA materialize a full TRANSPOSED copy of H to get the
+        # rows contiguous — 2x 377 MB of copies per step at bench scale
+        # — so gather/scatter through flat indices instead.  Invalid
+        # slots (mtab == n) land past the buffer end: the gather clamps
+        # (masked below), the scatters drop.
+        pin = mtab % block
+        idx = ((mtab // block) * (CH * block) + pin)[:, None] \
+            + block * jnp.arange(CH, dtype=mtab.dtype)[None, :]
+        rows = H_new.reshape(-1)[idx]              # (cap, CH) pre-push
         rows = jnp.where(valid[:, None], rows, 0.0)
         m_cell = rows[:, 0].astype(jnp.int32)
         m_x = rows[:, 1]
         m_u = rows[:, 4:7]
         m_g = jnp.where(valid, rows[:, 7], 1.0)
-        m_w = jnp.where(valid, ps.weight[blk, sub, lane], 0.0)
+        m_w = jnp.where(valid, ps.weight.reshape(-1)[mtab], 0.0)
         m_q = m_w * jnp.float32(spec.charge)
         Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
         Ep = Ep.astype(jnp.float32)
@@ -570,16 +577,16 @@ class Simulation:
             out9[:, 0].astype(jnp.int32) + HALO, out9[:, 1], prev_x,
             m_q, vel, geom.dx, opt.dt,
         )
-        blk_s = jnp.where(valid, blk, nblk)  # drop invalid scatters
-        h = H_new.at[blk_s, :, sub, lane].set(
+        h = H_new.reshape(-1).at[idx].set(
             out9.astype(jnp.float32), mode="drop"
-        )
-        aux = A_new.at[blk_s, 0, sub, lane].set(
-            prev_x.astype(jnp.float32), mode="drop"
-        )
-        aux = aux.at[blk_s, 1, sub, lane].set(
-            chi.astype(jnp.float32), mode="drop"
-        )
+        ).reshape(H_new.shape)
+        CA = A_new.shape[1]
+        aidx = ((mtab // block) * (CA * block) + pin)[:, None] \
+            + block * jnp.arange(2, dtype=mtab.dtype)[None, :]
+        aux = A_new.reshape(-1).at[aidx].set(
+            jnp.stack([prev_x, chi], axis=1).astype(jnp.float32),
+            mode="drop",
+        ).reshape(A_new.shape)
         ps = F.PackedState(h=h, aux=aux, weight=ps.weight, tau=ps.tau)
         return ps, J_add, rho_add, movf.astype(jnp.int32), anchors_next
 

@@ -48,6 +48,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # Honour an explicit JAX_PLATFORMS=cpu even when the site's TPU
+    # plugin hook pre-registered itself as the default platform (same
+    # guard as bench.py -- without it this tool hangs/fails on a
+    # wedged tunnel instead of compiling on CPU).
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "cpu" in env_platforms.split(","):
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from opal_tpu import constants as const
@@ -96,7 +108,11 @@ def main(argv=None):
     agg = collections.Counter()
     agg_b = collections.Counter()
     biggest = []
+    comp = "?"
     for line in txt.splitlines():
+        mc = re.match(r"(?:ENTRY )?%?([\w.\-]+) (?:\([^)]*\))? ?->", line)
+        if mc and line.rstrip().endswith("{"):
+            comp = mc.group(1)
         m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = (\S+?)\[", line)
         if not m:
             m2 = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = (\w+)\(", line)
@@ -118,7 +134,7 @@ def main(argv=None):
         agg[op] += 1
         agg_b[op] += out_b
         if out_b > 4 << 20:
-            biggest.append((out_b, op, line.strip()[:160]))
+            biggest.append((out_b, op, f"[{comp}] " + line.strip()[:150]))
 
     print("\n== op totals (count, output GB) ==")
     for op, b in agg_b.most_common(args.top):
@@ -167,6 +183,11 @@ def main(argv=None):
         shown += 1
         if shown >= args.top:
             break
+
+    print("\n== copies/transposes >= 64 MB (all, with computation) ==")
+    for b, op, line in biggest:
+        if op in ("copy", "transpose") and b >= 64 << 20:
+            print(f"{b / 1e6:8.1f} MB  {line}")
 
 
 if __name__ == "__main__":
