@@ -27,6 +27,17 @@ import numpy as np
 
 BASELINE_NODE_PUSHES_PER_SEC = 3.2e8  # estimated reference CPU node
 
+# Measured anchor for the estimate above: tools/cpu_ref_proxy.cc — an
+# optimized native (C++/OpenMP) implementation of the reference's
+# per-particle step work (field gather, Vay push incl. the
+# unconditional work/chi/rate updates of electron.rs:278-287, flux
+# deposition) measured 1.73e7 pushes/s/core f64 on this image's Xeon
+# vCPU (2026-08-18).  64 cores x 1.73e7 = 1.1e9 — an upper bound for a
+# reference node (real-code overhead and shared memory bandwidth push
+# it down; see BASELINE.md "CPU proxy measurement").  Reported as
+# vs_node_proxy alongside the legacy vs_baseline.
+PROXY_NODE_PUSHES_PER_SEC = 1.1e9  # 64 x measured 1.73e7/core
+
 # Backend-probe retry budget.  The axon-tunneled TPU in this image can
 # be transiently broken in two ways (round-1 postmortem): backend init
 # raises UNAVAILABLE (tunnel restarting), or the first device op HANGS
@@ -37,7 +48,14 @@ _PROBE_ATTEMPTS = 4
 _PROBE_DEADLINE_S = 240
 _PROBE_BACKOFF_S = (20, 60, 120)
 _PROBE_CODE = """
-import jax, jax.numpy as jnp
+import os
+import jax
+env = os.environ.get("JAX_PLATFORMS", "")
+if env and "cpu" in env.split(","):
+    # the site TPU hook ignores the env var; apply it explicitly so a
+    # CPU-backend bench does not probe (and hang on) the TPU tunnel
+    jax.config.update("jax_platforms", env)
+import jax.numpy as jnp
 ds = jax.devices()
 jnp.zeros((8,)).block_until_ready()
 print("OK", ds[0].platform, len(ds))
@@ -313,6 +331,9 @@ def main(argv=None):
                 "value": pushes_per_sec / ndev,
                 "unit": "pushes/s",
                 "vs_baseline": pushes_per_sec / BASELINE_NODE_PUSHES_PER_SEC,
+                # measured-proxy node baseline (see PROXY_NODE_...):
+                # this run's chips vs ONE 64-core reference CPU node
+                "vs_node_proxy": pushes_per_sec / PROXY_NODE_PUSHES_PER_SEC,
             }
         )
     )
