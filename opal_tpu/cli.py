@@ -261,6 +261,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         fused_block=fused_block,
         fused_window=fused_window,
         fused_resort_every=fused_resort_every,
+        fused_misfit_capacity=int(tpu_opt("fused_misfit_capacity", 1024)),
         migration_every=migration_every,
         migration_window=migration_window,
         replicate_fields=replicate,

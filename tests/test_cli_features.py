@@ -67,3 +67,22 @@ def test_features_section(tmp_path):
     assert not sim.options.beaming
     assert not sim.options.stimulated_emission
     assert sim.options.immobile_photons
+
+
+def test_tpu_section_options(tmp_path):
+    """Every documented ``tpu:`` tuning knob must actually reach
+    SimOptions (docs/input.md §tpu)."""
+    feats = (
+        "tpu:\n"
+        "  fused_misfit_capacity: 96\n"
+        "  migration_capacity: 123\n"
+        "  migration_every: 2\n"
+        "  absorption_candidates: 17\n"
+        "  packed_fused: 0\n"
+    )
+    sim, _, _ = build(_write(tmp_path, feats), n_devices=4)
+    assert sim.options.fused_misfit_capacity == 96
+    assert sim.options.migration_capacity == 123
+    assert sim.options.migration_every == 2
+    assert sim.options.absorption_candidates == 17
+    assert not sim.options.packed_fused
