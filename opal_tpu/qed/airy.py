@@ -1,15 +1,32 @@
 """Airy function Ai(x) for real non-negative argument, vectorized.
 
-Same piecewise scheme as the reference (``src/qed/special_functions/
-airy.rs:19-69``): Taylor series for x < 1, then generalized
+Same piecewise intervals as the reference (``src/qed/special_functions/
+airy.rs:19-69``): Taylor series for x < 1, then the generalized
 Gauss-Laguerre quadrature of the integral representation with 40/16/4
 nodes for x < 2 / 10 / 50.  Beyond 50 (Ai < 4.5e-104) or below 0 the
 result is flagged invalid and returned as 0.0.
 
 Unlike the reference, nothing here is hand-tabulated: the Taylor
 coefficients come from the standard Maclaurin series of Ai and the
-quadrature rules from ``scipy.special.roots_genlaguerre`` (weight
-``t**(-1/6) * exp(-t)``), both computed once at import.
+quadrature rules from ``scipy.special.roots_genlaguerre``, both
+computed once at import.
+
+Evaluation strategy (matters at scale): the absorption pass calls this
+on (n_photons, candidates)-shaped tensors every step.  Broadcasting
+``x[..., None] ** powers`` against the node/term axis materializes
+(n, B, 40)-shaped intermediates full of transcendental ``pow`` ops —
+13 GB per op at bench scale (measured via tools/hlo_stats.py --qed).
+Instead:
+
+* the Taylor branch runs two Horner chains in y = x^3 (exact
+  restructuring of the series, whose terms only occupy powers 3k and
+  3k+1);
+* each quadrature branch's node sum I(s) = sum_i w_i (2 + t_i/s)^(-1/6)
+  is replaced by a Chebyshev fit in log(s), computed at import from
+  the quadrature rule itself and evaluated by the Clenshaw recurrence.
+  Fit residuals are ~3e-15 relative (degree 12/16/16), far inside the
+  1e-12 agreement the tests require, and the evaluation carries only
+  (n, B)-shaped values.
 """
 
 from __future__ import annotations
@@ -22,46 +39,57 @@ from scipy.special import roots_genlaguerre
 
 
 def _taylor_coefficients(terms: int = 14) -> tuple[np.ndarray, np.ndarray]:
-    """Maclaurin series of Ai: alpha * f(x) + beta * g(x) with
-    f = sum 3^k (1/3)_k x^(3k) / (3k)!,  g = sum 3^k (2/3)_k x^(3k+1) / (3k+1)!.
-    """
+    """Maclaurin series of Ai split into the y = x^3 Horner chains:
+    Ai(x) = f(y) + x g(y),  f = sum fk y^k,  g = sum gk y^k."""
     alpha = 3.0 ** (-2.0 / 3.0) / math.gamma(2.0 / 3.0)  # Ai(0)
     beta = -(3.0 ** (-1.0 / 3.0)) / math.gamma(1.0 / 3.0)  # Ai'(0)
-    coeffs, powers = [], []
+    fk, gk = [], []
     af, ag = alpha, beta
     for k in range(terms):
-        coeffs.append(af)
-        powers.append(3 * k)
-        coeffs.append(ag)
-        powers.append(3 * k + 1)
+        fk.append(af)
+        gk.append(ag)
         # recurrences: term_{k+1}/term_k = x^3 / ((3k+2)(3k+3)) for f,
         # x^3 / ((3k+3)(3k+4)) for g
         af = af / ((3 * k + 2) * (3 * k + 3))
         ag = ag / ((3 * k + 3) * (3 * k + 4))
-    return np.asarray(coeffs), np.asarray(powers, dtype=np.int32)
+    return np.asarray(fk), np.asarray(gk)
 
 
-_TAYLOR_A, _TAYLOR_N = _taylor_coefficients()
+_TAYLOR_F, _TAYLOR_G = _taylor_coefficients()
 
 # Quadrature scale factor a(x) = s^(-1/6) e^(-s) / (sqrt(pi) 48^(1/6) Gamma(5/6))
 _SCALE = 1.0 / (math.sqrt(math.pi) * 48.0 ** (1.0 / 6.0) * math.gamma(5.0 / 6.0))
 
-_GL_NODES = {}
-_GL_WEIGHTS = {}
-for _n in (40, 16, 4):
-    _x, _w = roots_genlaguerre(_n, -1.0 / 6.0)
-    _GL_NODES[_n] = np.asarray(_x)
-    _GL_WEIGHTS[_n] = np.asarray(_w)
+
+def _fit_branch(x_lo: float, x_hi: float, n: int, deg: int):
+    """Chebyshev coefficients (in u = affine(log s)) of the n-node
+    generalized Gauss-Laguerre sum I(s), plus the u-map (a, b)."""
+    t, w = roots_genlaguerre(n, -1.0 / 6.0)
+    xs = np.linspace(x_lo, x_hi, 16 * (deg + 1))
+    s = 2.0 * xs**1.5 / 3.0
+    target = (w * (2.0 + t / s[:, None]) ** (-1.0 / 6.0)).sum(-1)
+    ls = np.log(s)
+    a, b = ls.min(), ls.max()
+    u = 2.0 * (ls - a) / (b - a) - 1.0
+    coef = np.polynomial.chebyshev.chebfit(u, target, deg)
+    return coef, a, b
 
 
-def _quadrature(x, n: int):
-    """Ai(x) = a(x) * sum_i w_i (2 + t_i/s)^(-1/6), s = 2 x^1.5 / 3."""
-    s = 2.0 * x**1.5 / 3.0
-    a = _SCALE * s ** (-1.0 / 6.0) * jnp.exp(-s)
-    nodes = jnp.asarray(_GL_NODES[n])
-    weights = jnp.asarray(_GL_WEIGHTS[n])
-    integrand = (2.0 + nodes / s[..., None]) ** (-1.0 / 6.0)
-    return a * jnp.sum(weights * integrand, axis=-1)
+_BRANCHES = (
+    (1.0, 2.0) + _fit_branch(1.0, 2.0, 40, 12),
+    (2.0, 10.0) + _fit_branch(2.0, 10.0, 16, 16),
+    (10.0, 50.0) + _fit_branch(10.0, 50.0, 4, 16),
+)
+
+
+def _clenshaw(u, coef: np.ndarray):
+    """Chebyshev series at u via the Clenshaw recurrence; u is any
+    array, coef a host-side 1-D coefficient vector."""
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    for c in coef[:0:-1]:
+        b1, b2 = 2.0 * u * b1 - b2 + c, b1
+    return u * b1 - b2 + coef[0]
 
 
 def airy_ai(x):
@@ -72,17 +100,26 @@ def airy_ai(x):
     where Ai underflow means "no interaction").
     """
     x = jnp.asarray(x)
-    # Clamp per-branch inputs so unselected branches stay finite.
-    x_t = jnp.clip(x, 0.0, 1.0)
-    taylor = jnp.sum(
-        jnp.asarray(_TAYLOR_A) * x_t[..., None] ** jnp.asarray(_TAYLOR_N), axis=-1
-    )
-    q40 = _quadrature(jnp.clip(x, 1.0, 2.0), 40)
-    q16 = _quadrature(jnp.clip(x, 2.0, 10.0), 16)
-    q4 = _quadrature(jnp.clip(x, 10.0, 50.0), 4)
 
-    value = jnp.where(
-        x < 1.0, taylor, jnp.where(x < 2.0, q40, jnp.where(x < 10.0, q16, q4))
-    )
+    # Taylor branch: two Horner chains in y = x^3.
+    x_t = jnp.clip(x, 0.0, 1.0)
+    y = x_t * x_t * x_t
+    f = jnp.zeros_like(x_t)
+    g = jnp.zeros_like(x_t)
+    for fk, gk in zip(_TAYLOR_F[::-1], _TAYLOR_G[::-1]):
+        f = f * y + fk
+        g = g * y + gk
+    taylor = f + x_t * g
+
+    # Quadrature branches: a(x) * I(s) with I via Clenshaw in log s.
+    value = taylor
+    for x_lo, x_hi, coef, a, b in _BRANCHES:
+        x_c = jnp.clip(x, x_lo, x_hi)
+        s = 2.0 * x_c * jnp.sqrt(x_c) / 3.0
+        ls = jnp.log(s)
+        pref = _SCALE * jnp.exp(-s - ls / 6.0)
+        u = 2.0 * (ls - a) / (b - a) - 1.0
+        value = jnp.where(x < x_lo, value, pref * _clenshaw(u, coef))
+
     valid = (x >= 0.0) & (x < 50.0)
     return jnp.where(valid, value, 0.0), valid

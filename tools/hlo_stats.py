@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--nx", type=int, default=1024)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--qed", action="store_true",
+                   help="emission+absorption on with a photon "
+                        "population (bench.py --qed workload)")
     args = p.parse_args(argv)
 
     import jax
@@ -74,30 +77,52 @@ def main(argv=None):
     dx = 500.0
     dt = 0.95 * dx / const.SPEED_OF_LIGHT
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    if args.qed:
+        dx = 1.0e-8
+        dt = 0.95 * dx / const.SPEED_OF_LIGHT
+        geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
     opts = SimOptions(
         dt=dt, migration_capacity=512, fused_pusher=True,
         fused_window=16, fused_block=2048, fused_resort_every=64,
         migration_every=3,
+        photon_emission=args.qed, photon_absorption=args.qed,
+        absorption_candidates=64,
     )
     espec = SpeciesSpec.electron()
-    sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
+    specs = {"electron": espec}
+    if args.qed:
+        specs["photon"] = SpeciesSpec.photon()
+    sim = Simulation(geom, opts, specs, dtype=jnp.float32)
 
     drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
     cap = -(-int(n_particles // ndev * 1.25) // 2048) * 2048
+    if args.qed:
+        ux_fn = lambda x, u, n: -1000.0 * (1.0 + 0.01 * n)
+    else:
+        ux_fn = lambda x, u, n: drift * (1.0 + 0.001 * n) * jnp.sign(u - 0.5)
     state = initialize_device(
         espec, geom, sim.mesh, npc,
         density=lambda x: jnp.full_like(jnp.asarray(x), 20.0),
-        ux=lambda x, u, n: drift * (1.0 + 0.001 * n) * jnp.sign(u - 0.5),
+        ux=ux_fn,
         uy=lambda x, u, n: jnp.zeros_like(x),
         uz=lambda x, u, n: jnp.zeros_like(x),
         dt=dt, capacity_per_device=cap, seed=0, dtype=jnp.float32,
     )
+    species = {"electron": state}
+    if args.qed:
+        zero_fn = lambda x, u, n: jnp.zeros_like(x)
+        species["photon"] = initialize_device(
+            SpeciesSpec.photon(), geom, sim.mesh, 0,
+            density=lambda x: jnp.zeros_like(jnp.asarray(x)),
+            ux=zero_fn, uy=zero_fn, uz=zero_fn,
+            dt=dt, capacity_per_device=cap, seed=1, dtype=jnp.float32,
+        )
     E, B, J, rho = sim.init_fields()
     counters = sim.zero_counters()
     key = jax.random.key(0)
 
     lowered = sim._run.lower(
-        E, B, J, rho, {"electron": state}, jnp.float32(0.0), key, counters,
+        E, B, J, rho, species, jnp.float32(0.0), key, counters,
         nsteps=args.steps,
     )
     compiled = lowered.compile()
