@@ -160,6 +160,10 @@ def main(argv=None):
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
+    parser.add_argument("--absorption-active", type=int, default=0,
+                        help="bench A/B: compact the absorption walk to at "
+                             "most N active-with-cell-mates photons per step "
+                             "(0 = walk the whole buffer)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the timed block")
     parser.add_argument("--verbose", action="store_true")
@@ -212,6 +216,7 @@ def main(argv=None):
         migration_capacity=512,
         fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
+        absorption_active_capacity=args.absorption_active,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
         packed_fused=args.packed,

@@ -251,8 +251,39 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     e_table = jnp.stack([eg_s, ux_s, uy_s, uz_s, chi_s, w_s], axis=-1)
     cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
 
+    # Optional active-set compaction: the walk costs O(buffer capacity
+    # x K) even when most photon slots are dead or have no electron
+    # cell-mates (e.g. photons that left the beam).  With
+    # ``absorption_active_capacity`` set, only photons that are active
+    # AND have cell-mates are gathered into an (A,)-row working set;
+    # the excess beyond A is skipped this step (tau untouched — they
+    # walk next step) and counted as overflow, like every other
+    # capacity in this codebase.
+    A = int(getattr(opt, "absorption_active_capacity", 0) or 0)
+    compact = 0 < A < n_ph
+    if compact:
+        from .ops.fused import misfit_compact
+
+        has_mates = active & (p_end > p_start)
+        atab, aovf = misfit_compact(has_mates.astype(jnp.float32), A)
+        wi = jnp.clip(atab, 0, n_ph - 1)
+        w_active = atab < n_ph
+        w_start, w_end = p_start[wi], p_end[wi]
+        w_k4 = k4_ph[wi]
+        w_chi = ph.chi[wi]
+        w_tau_abs0, w_tau_st0 = ph.tau_abs[wi], ph.tau_st[wi]
+        nw = A
+    else:
+        aovf = jnp.zeros((), jnp.int32)
+        atab = None
+        w_active = active
+        w_start, w_end = p_start, p_end
+        w_k4, w_chi = k4_ph, ph.chi
+        w_tau_abs0, w_tau_st0 = ph.tau_abs, ph.tau_st
+        nw = n_ph
+
     # Candidate walk, block-vectorized: each sequential pass examines a
-    # (n_ph, B) block of cell-mates at once (the per-kernel launch cost
+    # (nw, B) block of cell-mates at once (the per-kernel launch cost
     # makes K truly-serial iterations prohibitive); within a block the
     # reference's one-at-a-time optical-depth decrements become
     # cumulative sums, and the first crossing wins — identical
@@ -263,22 +294,22 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
 
     def body(bi, carry):
         tau_abs, tau_st, done, ev_kind, ev_idx = carry
-        idxb = (p_start + bi * B)[:, None] + karr[None, :]  # (n_ph, B)
-        valid = (~done)[:, None] & active[:, None] & (idxb < p_end[:, None])
+        idxb = (w_start + bi * B)[:, None] + karr[None, :]  # (nw, B)
+        valid = (~done)[:, None] & w_active[:, None] & (idxb < w_end[:, None])
         idx_c = jnp.clip(idxb, 0, n_e - 1)
 
-        rows = e_table[idx_c]  # (n_ph, B, 6) single row gather
+        rows = e_table[idx_c]  # (nw, B, 6) single row gather
         p4 = rows[..., 0:4]
         chi_e = rows[..., 4]
         w_e = rows[..., 5]
 
         sig_abs, _ = cross_sections.photon_absorption(
-            k4_ph[:, None, :], p4, ph.chi[:, None], chi_e
+            w_k4[:, None, :], p4, w_chi[:, None], chi_e
         )
         p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
         if opt.stimulated_emission:
             sig_st, _ = cross_sections.stimulated_emission(
-                k4_ph[:, None, :], p4, ph.chi[:, None], chi_e
+                w_k4[:, None, :], p4, w_chi[:, None], chi_e
             )
             p_st = jnp.where(valid, w_e * cdt_dx * sig_st, 0.0)
         else:
@@ -299,7 +330,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         kc = jnp.clip(k_ev, 0, B - 1)[:, None]
         take = lambda m: jnp.take_along_axis(m, kc, axis=1)[:, 0]
         pa_k, ps_k = take(p_abs), take(p_st)
-        r = jax.random.uniform(jax.random.fold_in(key, bi), (n_ph,), dtype)
+        r = jax.random.uniform(jax.random.fold_in(key, bi), (nw,), dtype)
         choose_abs = r < pa_k / jnp.maximum(pa_k + ps_k, _TINY)
         absorbed_now = event & (
             (both & choose_abs) | (~both & (k_abs < k_st))
@@ -317,7 +348,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
             tau_st - jnp.where(event, take(cum_st), cum_st[:, -1])
         ).astype(tau_st.dtype)
         exp1 = jax.random.exponential(
-            jax.random.fold_in(key, 1000 + bi), (2, n_ph), dtype
+            jax.random.fold_in(key, 1000 + bi), (2, nw), dtype
         )
         new_abs = jnp.where(stim_now & both, exp1[0], new_abs)
         new_st = jnp.where(stim_now, exp1[1], new_st)
@@ -327,13 +358,23 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         return (new_abs, new_st, done | event, ev_kind, ev_idx)
 
     init = (
-        ph.tau_abs,
-        ph.tau_st,
-        jnp.zeros(n_ph, bool),
-        jnp.zeros(n_ph, jnp.int32),
-        jnp.zeros(n_ph, jnp.int32),
+        w_tau_abs0,
+        w_tau_st0,
+        jnp.zeros(nw, bool),
+        jnp.zeros(nw, jnp.int32),
+        jnp.zeros(nw, jnp.int32),
     )
     tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(0, nb, body, init)
+
+    if compact:
+        # scatter the walked rows back into the full buffers; photons
+        # beyond the active capacity keep their depths and fire no event
+        tau_abs = ph.tau_abs.at[atab].set(tau_abs, mode="drop")
+        tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
+        ev_kind = jnp.zeros(n_ph, jnp.int32).at[atab].set(
+            ev_kind, mode="drop"
+        )
+        ev_idx = jnp.zeros(n_ph, jnp.int32).at[atab].set(ev_idx, mode="drop")
 
     absorbed = ev_kind == 1
     stimulated = ev_kind == 2
@@ -426,6 +467,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     )
     ph, overflow = insert(ph, buf, stimulated)
     out_species = {**species, "electron": e, "photon": ph}
+    total_ovf = overflow + overflow_pairs + aovf
     if events is not None:
-        return out_species, overflow + overflow_pairs, events
-    return out_species, overflow + overflow_pairs
+        return out_species, total_ovf, events
+    return out_species, total_ovf

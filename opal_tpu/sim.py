@@ -88,6 +88,13 @@ class SimOptions:
     # each pass is vectorized over (photons, block); only ceil(K/block)
     # passes run serially (kernel-launch count is the real cost)
     absorption_block: int = 32
+    # active-set compaction of the absorption walk: 0 = walk the whole
+    # photon buffer (exact reference cadence); > 0 = gather at most
+    # this many active-with-cell-mates photons per step (excess is
+    # delayed one step and counted as overflow).  The walk costs
+    # O(rows x candidates), so this bounds the pass by the real pair
+    # population instead of the buffer capacity.
+    absorption_active_capacity: int = 0
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)

@@ -78,6 +78,7 @@ def test_tpu_section_options(tmp_path):
         "  migration_capacity: 123\n"
         "  migration_every: 2\n"
         "  absorption_candidates: 17\n"
+        "  absorption_active_capacity: 4096\n"
         "  packed_fused: 0\n"
     )
     sim, _, _ = build(_write(tmp_path, feats), n_devices=4)
@@ -85,4 +86,5 @@ def test_tpu_section_options(tmp_path):
     assert sim.options.migration_capacity == 123
     assert sim.options.migration_every == 2
     assert sim.options.absorption_candidates == 17
+    assert sim.options.absorption_active_capacity == 4096
     assert not sim.options.packed_fused

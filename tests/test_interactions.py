@@ -285,3 +285,74 @@ def test_absorption_probability_statistics():
     expected = n_ph * (1.0 - math.exp(-p_event))
     sd = math.sqrt(expected)
     assert abs(absorbed - expected) < 5 * sd, (absorbed, expected)
+
+
+def test_absorption_active_compaction_equivalence():
+    """With stimulated emission off the walk is deterministic given the
+    optical depths, so the compacted active-set walk (capacity covering
+    every active photon) must reproduce the full-buffer walk exactly;
+    an undersized capacity must count the skipped photons as overflow
+    and leave their depths untouched."""
+    chi_g, chi_e, k0, gamma = 2.0, 1.0, 0.1, 10.0
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    u_e = -math.sqrt(gamma**2 - 1)
+    e = _state(
+        SpeciesSpec.electron(), 4,
+        cell=np.array([3, 0, 0, 0], np.int32),
+        weight=np.array([2.0e25, 0, 0, 0]),
+        u=np.array([[u_e, 0, 0]] * 4),
+        gamma=np.full(4, gamma),
+        chi=np.full(4, chi_e),
+        alive=np.array([True, False, False, False]),
+    )
+    n_ph = 512
+    rng = np.random.default_rng(11)
+    cells = np.where(rng.random(n_ph) < 0.5, 3, 9).astype(np.int32)
+    alive = rng.random(n_ph) < 0.7
+    ph = _state(
+        SpeciesSpec.photon(), n_ph,
+        cell=cells,
+        weight=np.where(alive, 1.0e10, 0.0),
+        u=np.array([[k0, 0, 0]] * n_ph),
+        gamma=np.full(n_ph, k0),
+        chi=np.full(n_ph, chi_g),
+        tau_abs=rng.exponential(size=n_ph) * 50.0,
+        tau_st=np.full(n_ph, 1e30),
+        alive=alive,
+    )
+
+    def run(active_cap):
+        sim = _fake_sim(
+            geom, photon_absorption=True, stimulated_emission=False,
+            absorption_active_capacity=active_cap,
+        )
+        return absorb(
+            sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(7)
+        )
+
+    (full_sp, full_ovf) = run(0)
+    (comp_sp, comp_ovf) = run(n_ph)  # capacity covers everything
+    f_ph, c_ph = full_sp["photon"], comp_sp["photon"]
+    np.testing.assert_array_equal(np.asarray(f_ph.alive), np.asarray(c_ph.alive))
+    np.testing.assert_allclose(
+        np.asarray(f_ph.tau_abs), np.asarray(c_ph.tau_abs), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(full_sp["electron"].ux),
+        np.asarray(comp_sp["electron"].ux), rtol=1e-12,
+    )
+    assert int(full_ovf) == int(comp_ovf) == 0
+    # some photons were actually absorbed, or the test shows nothing
+    assert int(jnp.sum(~c_ph.alive & jnp.asarray(alive))) > 0
+
+    # undersized capacity: overflow counted, skipped depths untouched
+    (tiny_sp, tiny_ovf) = run(8)
+    n_active_mates = int(np.sum(alive & (cells == 3)))
+    assert int(tiny_ovf) == n_active_mates - 8
+    t_ph = tiny_sp["photon"]
+    walked = np.flatnonzero(np.asarray(alive) & (cells == 3))[:8]
+    untouched = np.setdiff1d(np.flatnonzero(alive), walked)
+    np.testing.assert_allclose(
+        np.asarray(t_ph.tau_abs)[untouched],
+        np.asarray(ph.tau_abs)[untouched], rtol=0,
+    )
