@@ -164,6 +164,9 @@ def main(argv=None):
                         help="bench A/B: compact the absorption walk to at "
                              "most N active-with-cell-mates photons per step "
                              "(0 = walk the whole buffer)")
+    parser.add_argument("--emission-active", type=int, default=0,
+                        help="bench A/B: sample at most N emitters per step "
+                             "(0 = run the sampler over the whole buffer)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the timed block")
     parser.add_argument("--verbose", action="store_true")
@@ -217,6 +220,7 @@ def main(argv=None):
         fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
         absorption_active_capacity=args.absorption_active,
+        emission_active_capacity=args.emission_active,
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
         packed_fused=args.packed,

@@ -175,6 +175,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     migration_capacity = int(tpu_opt("migration_capacity", 16384))
     absorption_candidates = int(tpu_opt("absorption_candidates", 256))
     absorption_active = int(tpu_opt("absorption_active_capacity", 0))
+    emission_active = int(tpu_opt("emission_active_capacity", 0))
     seed = int(tpu_opt("seed", 0))
     sorted_pipeline = bool(tpu_opt("sorted_pipeline", 0))
     # the fused Pallas pipeline is the default for f32 runs (it is the
@@ -252,6 +253,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         migration_capacity=migration_capacity,
         absorption_candidates=absorption_candidates,
         absorption_active_capacity=absorption_active,
+        emission_active_capacity=emission_active,
         seed=seed,
         # NOTE: no coupling to fused_pusher — the fused path manages
         # its own sorting (maintenance sorts + edge migration) and the

@@ -45,31 +45,59 @@ from .vec3 import orthogonal as _orthogonal, rotate_around as _rotate_around
 def emit_radiation(sim, species, t, key):
     """Emission pass over the electron population; returns
     ``(species, overflow)`` where overflow counts photons that found no
-    free buffer slot on this device.  ``sim`` supplies options/geometry
-    (any object with ``.options`` and ``.geom``)."""
+    free buffer slot on this device (plus, with active-set compaction,
+    emitters beyond the capacity — their tau stays negative, so they
+    emit next step).  ``sim`` supplies options/geometry (any object
+    with ``.options`` and ``.geom``)."""
     opt = sim.options
     e = species["electron"]
     ph = species["photon"]
 
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     n = e.alive.shape[0]
-    shape = (n,)
-    r1 = jax.random.uniform(k1, shape, e.x.dtype)
-    r2 = jax.random.uniform(k2, shape, e.x.dtype)
-    r3 = jax.random.uniform(k3, shape, e.x.dtype)
-
     emits = e.alive & (e.tau < 0.0)
 
+    # Active-set compaction (see the absorb pass): per-step emitters
+    # are sparse by construction (rate * dt << 1), yet the sampler's
+    # table machinery runs for every buffer row.  With
+    # ``emission_active_capacity`` set, only up to EC emitter rows are
+    # gathered through the sampler; the excess is counted and emits
+    # next step.
+    EC = int(getattr(opt, "emission_active_capacity", 0) or 0)
+    compact = 0 < EC < n
+    if compact:
+        from .ops.fused import misfit_compact
+
+        etab, eovf = misfit_compact(emits.astype(jnp.float32), EC)
+        wi = jnp.clip(etab, 0, n - 1)
+        valid_w = etab < n
+        g = lambda a: a[wi]
+        m = EC
+    else:
+        eovf = jnp.zeros((), jnp.int32)
+        etab = None
+        valid_w = emits
+        g = lambda a: a
+        m = n
+
+    shape = (m,)
+    dtype = e.x.dtype
+    r1 = jax.random.uniform(k1, shape, dtype)
+    r2 = jax.random.uniform(k2, shape, dtype)
+    r3 = jax.random.uniform(k3, shape, dtype)
+
+    chi_w, gamma_w = g(e.chi), g(e.gamma)
     if opt.radiation_reaction:
-        omega_mc2, theta, cphi = emission.sample(e.chi, e.gamma, r1, r2, r3)
+        omega_mc2, theta, cphi = emission.sample(chi_w, gamma_w, r1, r2, r3)
     else:
         omega_mc2, theta, cphi = emission.classical_sample(
-            e.chi, e.gamma, r1, r2, r3
+            chi_w, gamma_w, r1, r2, r3
         )
 
     e_u = e.u  # one (N, 3) stack of the momentum columns for the run
-    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(e_u * e_u, axis=-1), _TINY))
-    parallel = e_u / u_norm[:, None]
+    u_w = g(e_u)
+    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(u_w * u_w, axis=-1), _TINY))
+    parallel = u_w / u_norm[:, None]
     perp = _rotate_around(_orthogonal(parallel), parallel, cphi)
     if opt.beaming:
         k_ph = omega_mc2[:, None] * (
@@ -80,39 +108,54 @@ def emit_radiation(sim, species, t, key):
 
     formation_length = (
         2.0
-        * e.gamma**2
+        * gamma_w**2
         * theta
         * const.SPEED_OF_LIGHT
         * const.COMPTON_TIME
-        / jnp.maximum(e.chi, _TINY)
+        / jnp.maximum(chi_w, _TINY)
     )
 
     # --- electron update: tau reset + recoil (electron.rs:210-239) ----
-    new_tau = jnp.where(
-        emits, jax.random.exponential(k4, shape, e.x.dtype), e.tau
-    )
+    tau_draw = jax.random.exponential(k4, shape, dtype)
     if opt.radiation_reaction:
-        u_new = jnp.where(emits[:, None], e_u - k_ph, e_u)
+        u_new = u_w - k_ph
         gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
-        chi_new = jnp.where(emits, e.chi * gamma_new / e.gamma, e.chi)
-        gamma_new = jnp.where(emits, gamma_new, e.gamma)
+        chi_new = chi_w * gamma_new / jnp.maximum(gamma_w, _TINY)
     else:
-        u_new, gamma_new, chi_new = e_u, e.gamma, e.chi
+        u_new, gamma_new, chi_new = u_w, gamma_w, chi_w
     # cast back: the sampling tables are f64 and must not promote f32
     # state (breaks the scan carry dtype when x64 is enabled)
-    e = dataclasses.replace(
-        e,
-        ux=u_new[:, 0].astype(e.ux.dtype),
-        uy=u_new[:, 1].astype(e.uy.dtype),
-        uz=u_new[:, 2].astype(e.uz.dtype),
-        gamma=gamma_new.astype(e.gamma.dtype),
-        chi=chi_new.astype(e.chi.dtype),
-        tau=new_tau.astype(e.tau.dtype),
-    )
+    if compact:
+        def upd(col, new):
+            return col.at[etab].set(new.astype(col.dtype), mode="drop")
+
+        e = dataclasses.replace(
+            e,
+            ux=upd(e.ux, u_new[:, 0]),
+            uy=upd(e.uy, u_new[:, 1]),
+            uz=upd(e.uz, u_new[:, 2]),
+            gamma=upd(e.gamma, gamma_new),
+            chi=upd(e.chi, chi_new),
+            tau=upd(e.tau, tau_draw),
+        )
+    else:
+        sel = lambda new, old: jnp.where(valid_w, new, old).astype(old.dtype)
+        sel3 = lambda new, old: jnp.where(
+            valid_w[:, None], new, old
+        ).astype(old.dtype)
+        e = dataclasses.replace(
+            e,
+            ux=sel(u_new[:, 0], e.ux),
+            uy=sel(u_new[:, 1], e.uy),
+            uz=sel(u_new[:, 2], e.uz),
+            gamma=sel(gamma_new, e.gamma),
+            chi=sel(chi_new, e.chi),
+            tau=sel(tau_draw, e.tau),
+        )
 
     # --- filters (interactions.rs:74-97) ------------------------------
     k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _TINY))
-    keep = emits
+    keep = valid_w
     if opt.photon_energy_min is not None:
         keep = keep & (k0 * const.ELECTRON_MASS_MEV >= opt.photon_energy_min)
     if opt.photon_angle_max is not None:
@@ -122,35 +165,35 @@ def emit_radiation(sim, species, t, key):
         keep = keep & (formation_length < opt.max_formation_length)
 
     # --- photon construction (photon.rs:95-116, electron.rs:243-245) --
-    dtype = e.x.dtype
-    prev_x = e.x - const.SPEED_OF_LIGHT * k_ph[:, 0] * opt.dt / (
+    x_w = g(e.x)
+    prev_x = x_w - const.SPEED_OF_LIGHT * k_ph[:, 0] * opt.dt / (
         jnp.maximum(k0, _TINY) * sim.geom.dx
     )
     ek = jax.random.split(k5, 2)
     buf = ParticleState(
-        cell=e.cell,
-        x=e.x,
+        cell=g(e.cell),
+        x=x_w,
         prev_x=prev_x.astype(dtype),
-        y=jnp.zeros(n, dtype),
-        z=jnp.zeros(n, dtype),
-        weight=e.weight,
+        y=jnp.zeros(m, dtype),
+        z=jnp.zeros(m, dtype),
+        weight=g(e.weight),
         ux=k_ph[:, 0].astype(dtype),
         uy=k_ph[:, 1].astype(dtype),
         uz=k_ph[:, 2].astype(dtype),
         gamma=k0.astype(dtype),
-        chi=jnp.zeros(n, dtype),
+        chi=jnp.zeros(m, dtype),
         tau=None,
         tau_abs=jax.random.exponential(ek[0], shape, dtype),
         tau_st=jax.random.exponential(ek[1], shape, dtype),
         work=None,
-        birth_time=jnp.full(n, t, dtype),
+        birth_time=jnp.full(m, t, dtype),
         alive=keep,
         # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
-        pol=jnp.zeros((n, 4), dtype),
+        pol=jnp.zeros((m, 4), dtype),
         basis=jnp.concatenate([k_ph, k_ph], axis=1).astype(dtype),
     )
     ph, overflow = insert(ph, buf, keep)
-    return {**species, "electron": e, "photon": ph}, overflow
+    return {**species, "electron": e, "photon": ph}, overflow + eovf
 
 
 def absorb(sim, species, t, key, axis_index=None, presorted=False):

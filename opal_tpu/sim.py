@@ -95,6 +95,12 @@ class SimOptions:
     # O(rows x candidates), so this bounds the pass by the real pair
     # population instead of the buffer capacity.
     absorption_active_capacity: int = 0
+    # same compaction for the emission pass: per-step emitters are
+    # sparse (rate * dt << 1), yet the sampler's table machinery runs
+    # for every electron row.  0 = off; > 0 = sample at most this many
+    # emitters per step (excess keeps tau < 0 and emits next step,
+    # counted as overflow).
+    emission_active_capacity: int = 0
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)

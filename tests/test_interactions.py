@@ -38,10 +38,13 @@ def _fake_sim(geom, **opts):
 
 
 @pytest.mark.physics
-def test_emission_momentum_conservation_and_insert():
+@pytest.mark.parametrize("active_cap", [0, 128])
+def test_emission_momentum_conservation_and_insert(active_cap):
     n = 256
     geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
-    sim = _fake_sim(geom, photon_emission=True)
+    sim = _fake_sim(
+        geom, photon_emission=True, emission_active_capacity=active_cap
+    )
 
     rng = np.random.default_rng(0)
     u = np.zeros((n, 3))
@@ -356,3 +359,35 @@ def test_absorption_active_compaction_equivalence():
         np.asarray(t_ph.tau_abs)[untouched],
         np.asarray(ph.tau_abs)[untouched], rtol=0,
     )
+
+
+def test_emission_active_capacity_overflow():
+    """Emitters beyond ``emission_active_capacity`` are counted and keep
+    their negative depth (they emit next step)."""
+    n = 256
+    geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
+    sim = _fake_sim(
+        geom, photon_emission=True, emission_active_capacity=16
+    )
+    rng = np.random.default_rng(2)
+    u = np.zeros((n, 3))
+    u[:, 0] = -1000.0
+    gamma = np.sqrt(1 + np.sum(u * u, axis=-1))
+    tau = np.where(np.arange(n) % 4 == 0, -0.1, 5.0)  # 64 emitters
+    e = _state(
+        SpeciesSpec.electron(), n,
+        cell=rng.integers(0, geom.n_loc, n).astype(np.int32),
+        x=rng.random(n), weight=np.full(n, 1e10), u=u, gamma=gamma,
+        chi=np.full(n, 0.5), tau=tau, alive=np.ones(n, bool),
+    )
+    ph = _state(SpeciesSpec.photon(), 1024)
+    species, overflow = emit_radiation(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
+    )
+    assert int(overflow) == 64 - 16
+    assert int(np.asarray(species["photon"].alive).sum()) == 16
+    tau2 = np.asarray(species["electron"].tau)
+    walked = np.flatnonzero(tau < 0)[:16]
+    skipped = np.setdiff1d(np.flatnonzero(tau < 0), walked)
+    assert np.all(tau2[walked] > 0)
+    np.testing.assert_array_equal(tau2[skipped], tau[skipped])
