@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--qed", action="store_true",
                    help="emission+absorption on with a photon "
                         "population (bench.py --qed workload)")
+    p.add_argument("--absorption-active", type=int, default=0)
+    p.add_argument("--emission-active", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
@@ -87,6 +89,8 @@ def main(argv=None):
         migration_every=3,
         photon_emission=args.qed, photon_absorption=args.qed,
         absorption_candidates=64,
+        absorption_active_capacity=args.absorption_active,
+        emission_active_capacity=args.emission_active,
     )
     espec = SpeciesSpec.electron()
     specs = {"electron": espec}
