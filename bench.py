@@ -186,6 +186,17 @@ def main(argv=None):
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 
+    # persistent compilation cache: repeat captures of the same config
+    # skip the multi-minute TPU compile (cache keys include the HLO and
+    # compiler version, so stale hits are not a concern)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
+        )
+    except Exception:
+        pass
+
     _probe_backend()
     import jax.numpy as jnp
 
