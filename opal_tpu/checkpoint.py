@@ -108,11 +108,19 @@ def load(directory, sim):
     replicated = getattr(sim.options, "replicate_fields", False)
     ckpt_ndev = manifest.get("n_devices")
     ckpt_nloc = manifest.get("n_loc")
-    reshard = ckpt_ndev is not None and ckpt_ndev != new_ndev
-    if reshard and ckpt_nloc is None:
+    was_replicated = bool(manifest.get("replicated", False))
+    # a device-count change OR a sharding-mode flip (domain <->
+    # replicated: the cell column switches between device-local and
+    # global meaning) requires re-bucketing the particle rows
+    reshard = (
+        ckpt_ndev is not None and ckpt_ndev != new_ndev
+    ) or was_replicated != replicated
+    if reshard and (ckpt_nloc is None or ckpt_ndev is None):
         raise ValueError(
-            f"checkpoint was written on {ckpt_ndev} devices without a "
-            f"recorded n_loc; cannot reshard onto {new_ndev}"
+            "checkpoint lacks the recorded device layout "
+            f"(n_devices={ckpt_ndev}, n_loc={ckpt_nloc}); cannot "
+            f"reshard onto {new_ndev} devices "
+            f"(replicated={replicated})"
         )
 
     def put_field(a, ndim1=False):
@@ -139,6 +147,7 @@ def load(directory, sim):
             fields = _reshard_species(
                 fields, name, ckpt_ndev, new_ndev, ckpt_nloc,
                 sim.geom.n_loc, sim.options,
+                was_replicated, replicated,
             )
         species[name] = sim.shard_particles(ParticleState(**fields))
 
@@ -165,17 +174,18 @@ def _dead_default(fname: str, is_photon: bool) -> float:
 
 
 def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
-                     options):
+                     options, was_replicated=False, now_replicated=False):
     """Re-chunk one species' per-device block layout onto a different
-    device count, host-side (the resharding resume the reference never
-    needed — it has no checkpoints at all, SURVEY §5).
+    device count and/or sharding mode, host-side (the resharding resume
+    the reference never needed — it has no checkpoints at all,
+    SURVEY §5).
 
-    Domain mode: the cell column is device-local, so rows are re-bucketed
-    by their global extended cell (g = old_dev * old_n_loc + cell) and
-    reindexed to the new decomposition.  Replicated mode
-    (old_nloc == new_nloc): cells are global; alive rows are re-split
-    into equal-count contiguous chunks.
-    """
+    The cell column is device-local in domain mode and global in
+    replicated mode, so rows are first lifted to their GLOBAL extended
+    cell (g = old_dev * old_n_loc + cell, or just cell when the
+    checkpoint was replicated) and then re-bucketed: by owning slab in
+    domain mode, or into equal-count contiguous chunks (cells kept
+    global) in replicated mode."""
     alive = np.asarray(fields["alive"])
     n_old = alive.shape[0]
     old_cap = n_old // max(old_ndev, 1)
@@ -183,20 +193,20 @@ def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
     cell = np.asarray(fields["cell"])
     is_photon = fields.get("tau_abs") is not None
 
-    if old_nloc == new_nloc:
-        # replicated layout: even re-chunk by alive order
-        alive_idx = np.flatnonzero(alive)
+    # global extended cell of every row
+    g = cell if was_replicated else old_dev * old_nloc + cell
+    alive_idx = np.flatnonzero(alive)
+    if now_replicated:
+        # equal-count contiguous chunks; cells stay global
         chunk = -(-alive_idx.size // new_ndev) if alive_idx.size else 0
         dev_of = (
             np.arange(alive_idx.size) // max(chunk, 1)
             if alive_idx.size else np.zeros(0, np.int64)
         )
-        new_cell = cell
+        new_cell = g.astype(cell.dtype)
     else:
-        g = old_dev * old_nloc + cell
         dev_all = np.clip(g // new_nloc, 0, new_ndev - 1)
         new_cell = (g - dev_all * new_nloc).astype(cell.dtype)
-        alive_idx = np.flatnonzero(alive)
         dev_of = dev_all[alive_idx]
 
     counts = np.bincount(dev_of, minlength=new_ndev)

@@ -382,9 +382,17 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             ux = input_cfg.func3("photons", "ux", ("x", "urand", "nrand"))
             uy = input_cfg.func3("photons", "uy", ("x", "urand", "nrand"))
             uz = input_cfg.func3("photons", "uz", ("x", "urand", "nrand"))
+            # replicated mode: pcap is PER-DEVICE (as in domain mode),
+            # so generate into a total-population buffer first and
+            # shard evenly after (the ion path above does the same)
+            gen_cap = (
+                _round_up(int(_required_capacity(geom, ppc, nph)))
+                if replicate
+                else pcap
+            )
             host = initialize(
-                pspecs, geom, ppc, nph, ux, uy, uz, dt, pcap, seed=seed + 2,
-                dtype=np_dtype,
+                pspecs, geom, ppc, nph, ux, uy, uz, dt, gen_cap,
+                seed=seed + 2, dtype=np_dtype,
             )
             states["photon"] = (
                 shard_even(host, mesh_devices, pcap) if replicate else host

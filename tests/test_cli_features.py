@@ -3,6 +3,8 @@ features, ``Cargo.toml:24-31``, as runtime booleans — SURVEY C22)."""
 
 import textwrap
 
+import numpy as np
+
 from opal_tpu.cli import build
 
 
@@ -88,3 +90,56 @@ def test_tpu_section_options(tmp_path):
     assert sim.options.absorption_candidates == 17
     assert sim.options.absorption_active_capacity == 4096
     assert not sim.options.packed_fused
+
+
+def test_replicated_initial_photons(tmp_path):
+    """Replicated mode with an initial photon population: pcap is
+    per-device, so generation must not be capped at pcap TOTAL."""
+    cfg = textwrap.dedent(
+        """
+        control:
+          dx: 500
+          nx: 64
+          xmin: 0.0
+          start: 0.0
+          end: 0.001
+          current_deposition: true
+          n_outputs: 1
+
+        qed:
+          photon_emission: true
+          photon_absorption: false
+
+        electrons:
+          npc: 8
+          ne: 20.0 * step(x, 0.0, 8000.0)
+          ux: 0.1
+          uy: 0.0
+          uz: 0.0
+          output: [x]
+
+        ions:
+          npc: 0
+
+        photons:
+          npc: 50
+          nph: 20.0 * step(x, 0.0, 8000.0)
+          ux: 1.0
+          uy: 0.0
+          uz: 0.0
+          output: [energy]
+
+        constants: {}
+
+        tpu:
+          replicate_fields: 1
+          photon_capacity: 256
+        """
+    )
+    p = tmp_path / "in.yaml"
+    p.write_text(cfg)
+    sim, species, params = build(p, n_devices=4)
+    assert params["replicated"]
+    n_ph = int(np.asarray(species["photon"].alive).sum())
+    # 16 cells x 50 per cell = 800 photons > the old pcap-total limit
+    assert n_ph == 800
