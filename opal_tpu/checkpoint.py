@@ -162,15 +162,6 @@ def load(directory, sim):
     )
 
 
-def _dead_default(fname: str, is_photon: bool) -> float:
-    """Dead-slot fill values (must match species._empty_fields)."""
-    if fname in ("tau", "tau_abs", "tau_st"):
-        return np.inf
-    if fname == "birth_time":
-        return -np.inf
-    if fname == "gamma":
-        return 0.0 if is_photon else 1.0
-    return 0.0
 
 
 def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
@@ -186,6 +177,8 @@ def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
     checkpoint was replicated) and then re-bucketed: by owning slab in
     domain mode, or into equal-count contiguous chunks (cells kept
     global) in replicated mode."""
+    from .species import dead_default
+
     alive = np.asarray(fields["alive"])
     n_old = alive.shape[0]
     old_cap = n_old // max(old_ndev, 1)
@@ -234,7 +227,7 @@ def _reshard_species(fields, name, old_ndev, new_ndev, old_nloc, new_nloc,
         a = np.asarray(a)
         new = np.full(
             (new_ndev * new_cap,) + a.shape[1:],
-            _dead_default(fname, is_photon), a.dtype,
+            dead_default(fname, is_photon), a.dtype,
         )
         src = new_cell if fname == "cell" else a
         new[dest] = src[rows]

@@ -278,6 +278,49 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     states = {}
     capacities = {}
 
+    def _init_species(sp, npc_, dens, iux, iuy, iuz, seed_,
+                      per_dev_cap=None):
+        """Generate one species and shard it: domain mode directly at
+        per-device capacity; replicated mode via a single-domain
+        generation buffer + equal-count ``shard_even``.
+        ``per_dev_cap`` fixes the per-device capacity (photons need
+        emission headroom beyond the initial population); ``None``
+        derives it from the population and ``capacity_factor``.
+        Returns (state, per-device capacity)."""
+        if replicate:
+            host = initialize(
+                sp, geom, npc_, dens, iux, iuy, iuz, dt,
+                # single-domain generation capacity: all alive rows
+                _round_up(int(_required_capacity(geom, npc_, dens))),
+                seed=seed_, dtype=np_dtype,
+            )
+            cap = per_dev_cap
+            if cap is None:
+                n_alive = int(np.asarray(host.alive).sum())
+                cap = _round_up(
+                    int(-(-n_alive // mesh_devices) * capacity_factor)
+                )
+                if fused_pusher and cap >= fused_block:
+                    cap = _round_up(cap, fused_block)
+            return shard_even(host, mesh_devices, cap), cap
+        cap = per_dev_cap
+        if cap is None:
+            cap = _round_up(
+                int(_required_capacity(geom, npc_, dens) * capacity_factor)
+            )
+            if fused_pusher and cap >= fused_block:
+                # fused kernel needs capacity % block == 0; smaller
+                # species stay un-padded (the kernel is inapplicable
+                # and the unfused ops serve them)
+                cap = _round_up(cap, fused_block)
+        return (
+            initialize(
+                sp, geom, npc_, dens, iux, iuy, iuz, dt, cap, seed=seed_,
+                dtype=np_dtype,
+            ),
+            cap,
+        )
+
     epc = input_cfg.read_usize("electrons", "npc")
     eospec = input_cfg.read_strings("electrons", "output")
     especs = SpeciesSpec.electron(eospec)
@@ -298,33 +341,9 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         ux = input_cfg.func3("electrons", "ux", ("x", "urand", "nrand"))
         uy = input_cfg.func3("electrons", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("electrons", "uz", ("x", "urand", "nrand"))
-        cap = _round_up(int(_required_capacity(geom, epc, ne) * capacity_factor))
-        if replicate:
-            host = initialize(
-                especs, geom, epc, ne, ux, uy, uz, dt,
-                # single-domain generation capacity: all alive rows
-                _round_up(int(_required_capacity(geom, epc, ne))),
-                seed=seed, dtype=np_dtype,
-            )
-            n_alive = int(np.asarray(host.alive).sum())
-            cap = _round_up(
-                int(-(-n_alive // mesh_devices) * capacity_factor)
-            )
-            if fused_pusher and cap >= fused_block:
-                cap = _round_up(cap, fused_block)
-            states["electron"] = shard_even(host, mesh_devices, cap)
-            capacities["electron"] = cap
-        else:
-            if fused_pusher and cap >= fused_block:
-                # fused kernel needs capacity % block == 0; smaller
-                # species stay un-padded (the kernel is inapplicable
-                # and the unfused ops serve them)
-                cap = _round_up(cap, fused_block)
-            states["electron"] = initialize(
-                especs, geom, epc, ne, ux, uy, uz, dt, cap, seed=seed,
-                dtype=np_dtype,
-            )
-            capacities["electron"] = cap
+        states["electron"], capacities["electron"] = _init_species(
+            especs, epc, ne, ux, uy, uz, seed,
+        )
     else:
         cap = 8
         states["electron"] = initialize(
@@ -344,29 +363,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         ux = input_cfg.func3("ions", "ux", ("x", "urand", "nrand"))
         uy = input_cfg.func3("ions", "uy", ("x", "urand", "nrand"))
         uz = input_cfg.func3("ions", "uz", ("x", "urand", "nrand"))
-        cap = _round_up(int(_required_capacity(geom, ipc, ni) * capacity_factor))
         specs["ion"] = ispecs
-        if replicate:
-            host = initialize(
-                ispecs, geom, ipc, ni, ux, uy, uz, dt,
-                _round_up(int(_required_capacity(geom, ipc, ni))),
-                seed=seed + 1, dtype=np_dtype,
-            )
-            n_alive = int(np.asarray(host.alive).sum())
-            cap = _round_up(
-                int(-(-n_alive // mesh_devices) * capacity_factor)
-            )
-            if fused_pusher and cap >= fused_block:
-                cap = _round_up(cap, fused_block)
-            states["ion"] = shard_even(host, mesh_devices, cap)
-        else:
-            if fused_pusher and cap >= fused_block:
-                cap = _round_up(cap, fused_block)
-            states["ion"] = initialize(
-                ispecs, geom, ipc, ni, ux, uy, uz, dt, cap, seed=seed + 1,
-                dtype=np_dtype,
-            )
-        capacities["ion"] = cap
+        states["ion"], capacities["ion"] = _init_species(
+            ispecs, ipc, ni, ux, uy, uz, seed + 1,
+        )
 
     if photon_emission or photon_absorption:
         ppc = input_cfg.read_usize("photons", "npc")
@@ -382,20 +382,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             ux = input_cfg.func3("photons", "ux", ("x", "urand", "nrand"))
             uy = input_cfg.func3("photons", "uy", ("x", "urand", "nrand"))
             uz = input_cfg.func3("photons", "uz", ("x", "urand", "nrand"))
-            # replicated mode: pcap is PER-DEVICE (as in domain mode),
-            # so generate into a total-population buffer first and
-            # shard evenly after (the ion path above does the same)
-            gen_cap = (
-                _round_up(int(_required_capacity(geom, ppc, nph)))
-                if replicate
-                else pcap
-            )
-            host = initialize(
-                pspecs, geom, ppc, nph, ux, uy, uz, dt, gen_cap,
-                seed=seed + 2, dtype=np_dtype,
-            )
-            states["photon"] = (
-                shard_even(host, mesh_devices, pcap) if replicate else host
+            states["photon"], _ = _init_species(
+                pspecs, ppc, nph, ux, uy, uz, seed + 2, per_dev_cap=pcap,
             )
         elif replicate:
             # empty per-device buffers for emission
@@ -579,7 +567,7 @@ def main(argv=None) -> int:
         for skey, spec in sim.specs.items():
             out.write_particle_outputs(
                 output_dir, index, spec, species[skey], geom,
-                rp["capacities"][skey],
+                rp["capacities"][skey], replicated=rp["replicated"],
             )
         fe = sim.em_field_energy(E, B)
         ee = sim.total_kinetic_energy("electron", species["electron"])

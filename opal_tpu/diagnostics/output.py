@@ -36,10 +36,11 @@ _UNITS = {
 
 def particle_quantity(
     name: str, spec: SpeciesSpec, st: ParticleState, geom: GridGeometry,
-    capacity_per_device: int,
+    capacity_per_device: int, replicated: bool = False,
 ):
     """Host-side accessor for one output quantity over all alive
-    particles (``mod.rs:388-449``)."""
+    particles (``mod.rs:388-449``).  ``replicated``: cells are already
+    global (replicated-field mode), so no per-device offset applies."""
     alive = np.asarray(st.alive)
     u = np.asarray(st.u)[alive]
     gamma = np.asarray(st.gamma)[alive]
@@ -52,9 +53,12 @@ def particle_quantity(
     pmag = np.sqrt(np.sum(p * p, axis=-1))
 
     if name == "x":
-        idx = np.flatnonzero(alive)
-        dev = idx // capacity_per_device
-        g = dev * geom.n_loc + np.asarray(st.cell)[alive]
+        if replicated:
+            g = np.asarray(st.cell)[alive]
+        else:
+            idx = np.flatnonzero(alive)
+            dev = idx // capacity_per_device
+            g = dev * geom.n_loc + np.asarray(st.cell)[alive]
         return geom.xmin + (g - geom.left_pad + np.asarray(st.x)[alive]) * geom.dx
     if name == "r":
         return np.hypot(np.asarray(st.y)[alive], np.asarray(st.z)[alive])
@@ -126,7 +130,7 @@ def parse_output_spec(o: str):
 
 def write_particle_outputs(
     directory, index: int, spec: SpeciesSpec, st: ParticleState,
-    geom: GridGeometry, capacity_per_device: int,
+    geom: GridGeometry, capacity_per_device: int, replicated: bool = False,
 ):
     """Generate and write every requested distribution for a species
     (``mod.rs:451-566``)."""
@@ -138,13 +142,14 @@ def write_particle_outputs(
         axes, bspec, weight = parsed
 
         values = [
-            particle_quantity(a, spec, st, geom, capacity_per_device)
+            particle_quantity(a, spec, st, geom, capacity_per_device,
+                              replicated)
             for a in axes
         ]
         weights = np.asarray(st.weight)[np.asarray(st.alive)]
         if weight == "energy":
             weights = weights * particle_quantity(
-                "energy", spec, st, geom, capacity_per_device
+                "energy", spec, st, geom, capacity_per_device, replicated
             )
 
         if len(axes) == 1:

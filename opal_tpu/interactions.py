@@ -140,9 +140,6 @@ def emit_radiation(sim, species, t, key):
         )
     else:
         sel = lambda new, old: jnp.where(valid_w, new, old).astype(old.dtype)
-        sel3 = lambda new, old: jnp.where(
-            valid_w[:, None], new, old
-        ).astype(old.dtype)
         e = dataclasses.replace(
             e,
             ux=sel(u_new[:, 0], e.ux),

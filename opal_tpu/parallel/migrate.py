@@ -679,6 +679,12 @@ def _edges_core(W, alive_w, cell_col, gamma_col, geom, axis_name,
 
     go_left = alive_w & (cell_w < 0)
     go_right = alive_w & (cell_w >= n_loc)
+    # out-of-slab rows captured by the window, BEFORE the non-periodic
+    # deletion filter: tot_l/tot_r count exactly these over the full
+    # buffer, so the overflow comparison must use the same predicate
+    # (pad-region deletions have in-slab cells and belong to neither
+    # side — subtracting them drove the counter negative)
+    out_slab_w = go_left | go_right
     if not periodic:
         g = cell_w + (axis_index * n_loc).astype(fdtype)
         out_left = g < geom.interior_start
@@ -691,11 +697,7 @@ def _edges_core(W, alive_w, cell_col, gamma_col, geom, axis_name,
     gone = go_left | go_right | deleted
     free_after = ~alive_w | gone
 
-    missed = (
-        (tot_l - jnp.sum(go_left)) + (tot_r - jnp.sum(go_right))
-        if periodic else
-        (tot_l + tot_r) - jnp.sum(go_left | go_right | deleted)
-    )
+    missed = (tot_l + tot_r) - jnp.sum(out_slab_w)
 
     m4 = jnp.stack([go_left, go_right, gone, free_after], axis=1).astype(
         jnp.int32

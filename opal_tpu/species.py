@@ -133,6 +133,21 @@ class SpeciesSpec:
         return SpeciesSpec("photon", "photon", 0.0, 0.0, tuple(output))
 
 
+def dead_default(fname: str, is_photon: bool) -> float:
+    """Dead-slot fill value for one column — the single source of
+    truth (used by :func:`_empty_fields`, :func:`shard_even` and the
+    checkpoint resharding).  tau columns are +inf so dead slots never
+    trigger emission/absorption; photon gamma is |k| = 0, massive
+    gamma 1 so energy formulas stay finite."""
+    if fname in ("tau", "tau_abs", "tau_st"):
+        return np.inf
+    if fname == "birth_time":
+        return -np.inf
+    if fname == "gamma":
+        return 0.0 if is_photon else 1.0
+    return 0.0
+
+
 def _empty_fields(spec: SpeciesSpec, n: int, dtype):
     inf = np.full(n, np.inf, dtype)
     fields = dict(
@@ -481,13 +496,8 @@ def shard_even(state: ParticleState, n_shards: int,
         a = np.asarray(a)
         new = np.zeros((n_shards * capacity_per_shard,) + a.shape[1:],
                        a.dtype)
-        # dead-slot defaults must match _empty_fields
-        if f.name == "gamma":
-            new[...] = 0.0 if state.tau_abs is not None else 1.0
-        elif f.name in ("tau", "tau_abs", "tau_st"):
-            new[...] = np.inf
-        elif f.name == "birth_time":
-            new[...] = -np.inf
+        if f.name != "alive":
+            new[...] = dead_default(f.name, state.tau_abs is not None)
         for s in range(n_shards):
             lo = min(s * chunk, n_alive)
             hi = min(lo + chunk, n_alive)

@@ -334,7 +334,9 @@ def test_absorption_active_compaction_equivalence():
         )
 
     (full_sp, full_ovf) = run(0)
-    (comp_sp, comp_ovf) = run(n_ph)  # capacity covers everything
+    # n_ph - 1 so the compacted branch actually engages (compact
+    # requires capacity < n_ph) while still covering every active row
+    (comp_sp, comp_ovf) = run(n_ph - 1)
     f_ph, c_ph = full_sp["photon"], comp_sp["photon"]
     np.testing.assert_array_equal(np.asarray(f_ph.alive), np.asarray(c_ph.alive))
     np.testing.assert_allclose(

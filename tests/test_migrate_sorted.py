@@ -327,3 +327,47 @@ def test_edges_asymmetric_flux_spills_into_dead_pool():
     cells = np.asarray(out.cell)
     alive = np.asarray(out.alive)
     assert np.all(cells[alive] >= 0) and np.all(cells[alive] < geom.n_loc)
+
+
+def test_edges_pad_deletions_do_not_go_negative():
+    """Non-periodic boundary absorptions in the pad region (laser
+    boundary: cells in [0, left_pad) on device 0) are deletions, not
+    exchanges — they must not drive the overflow counter negative."""
+    from opal_tpu.parallel.migrate import migrate_edges
+
+    ndev = 2
+    geom = GridGeometry(
+        nx=64, dx=1.0, xmin=0.0, n_devices=ndev,
+        left_boundary="laser", right_boundary="absorbing",
+    )
+    cap = 256
+    rng = np.random.default_rng(4)
+    f = _empty_fields(SpeciesSpec.electron(), ndev * cap, np.float64)
+    n_pad = 12
+    # the whole interior [interior_start, interior_end) lives on device
+    # 0 here (the absorbing damping pad fills device 1), so the test
+    # population goes on device 0: n_pad rows inside the laser pad
+    # (g < interior_start -> absorbed) plus interior rows that stay
+    n_alive = 150
+    cells = np.sort(np.concatenate([
+        np.arange(n_pad) % geom.left_pad,
+        rng.integers(geom.left_pad, geom.left_pad + 60, n_alive - n_pad),
+    ]))
+    sl = slice(0, n_alive)
+    f["alive"][sl] = True
+    f["cell"][sl] = cells
+    f["weight"][sl] = 1.0
+    f["gamma"][sl] = 1.0
+    f["tau"][sl] = 1.0
+    f["work"][sl] = 0.0
+    f["cell"][n_alive:] = geom.n_loc - 1
+    state = ParticleState(**{
+        k: (None if v is None else jnp.asarray(v)) for k, v in f.items()
+    })
+    n0 = int(jnp.sum(state.alive))
+
+    edges = partial(migrate_edges, window=64)
+    out, ovf = _run(edges, state, geom, 32)
+    assert int(ovf) == 0, f"overflow counter went to {int(ovf)}"
+    # the pad particles were absorbed (deleted), nothing else changed
+    assert int(jnp.sum(out.alive)) == n0 - n_pad

@@ -123,3 +123,22 @@ def test_replicated_kills_at_global_edges():
     geom = sim.geom
     assert (cell[alive] >= geom.interior_start).all()
     assert (cell[alive] < geom.interior_end).all()
+
+
+def test_replicated_particle_x_is_global():
+    """Replicated-mode cells are global: particle_quantity('x') must
+    not add a per-device offset (it did — every shard d > 0 reported
+    positions shifted by d * nx * dx, corrupting spatial histograms)."""
+    from opal_tpu.diagnostics.output import particle_quantity
+
+    sim, res = _build(replicated=True, nx=128, npc=8, nsteps=2)
+    st = res[4]["electron"]
+    geom = sim.geom
+    cap = st.alive.shape[0] // NDEV
+    x = particle_quantity(
+        "x", SpeciesSpec.electron(), st, geom, cap, replicated=True
+    )
+    lo = geom.xmin
+    hi = geom.xmin + geom.n_ext * geom.dx
+    assert x.size == int(np.asarray(st.alive).sum())
+    assert np.all((x >= lo) & (x < hi)), (x.min(), x.max(), lo, hi)
