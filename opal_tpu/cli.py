@@ -174,8 +174,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     capacity_factor = tpu_opt("capacity_factor", 1.5)
     migration_capacity = int(tpu_opt("migration_capacity", 16384))
     absorption_candidates = int(tpu_opt("absorption_candidates", 256))
-    absorption_active = int(tpu_opt("absorption_active_capacity", 0))
-    emission_active = int(tpu_opt("emission_active_capacity", 0))
+    # QED active-set compactions: -1 = auto-size from the species
+    # capacities (resolved once those are known below), 0 = off,
+    # N = explicit rows per step
+    absorption_active = int(tpu_opt("absorption_active_capacity", -1))
+    emission_active = int(tpu_opt("emission_active_capacity", -1))
     seed = int(tpu_opt("seed", 0))
     sorted_pipeline = bool(tpu_opt("sorted_pipeline", 0))
     # the fused Pallas pipeline is the default for f32 runs (it is the
@@ -398,6 +401,35 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                 seed=seed + 2, dtype=np_dtype,
             )
         capacities["photon"] = pcap
+
+    # Resolve the auto-sized QED active-set compactions now that the
+    # species capacities are known.  Emission drains FIFO by buffer
+    # order (an emitter's tau resets on emission, so delayed rows reach
+    # the front within a few steps); absorption rotates its scan origin
+    # per step (interactions.absorb), so an undersized capacity degrades
+    # to slower-than-physical depth decrements — overflow is counted and
+    # surfaced like every other capacity, never silent.
+    if emission_active < 0:
+        emission_active = (
+            _round_up(max(4096, capacities["electron"] // 8))
+            if photon_emission else 0
+        )
+    if absorption_active < 0:
+        absorption_active = (
+            _round_up(max(4096, capacities.get("photon", 0) // 4))
+            if photon_absorption else 0
+        )
+    if (
+        emission_active != options.emission_active_capacity
+        or absorption_active != options.absorption_active_capacity
+    ):
+        import dataclasses
+
+        options = dataclasses.replace(
+            options,
+            emission_active_capacity=emission_active,
+            absorption_active_capacity=absorption_active,
+        )
 
     from .fields import make_mesh
 

@@ -305,7 +305,20 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         from .ops.fused import misfit_compact
 
         has_mates = active & (p_end > p_start)
-        atab, aovf = misfit_compact(has_mates.astype(jnp.float32), A)
+        # Rotation fairness: misfit_compact selects the first A set rows
+        # in buffer order, and the active set here is PERSISTENT (a
+        # walked photon usually stays active) — under sustained overflow
+        # a fixed origin would starve later-indexed photons forever
+        # (their depths never decrement).  Rotating the scan origin by a
+        # per-step random offset makes every active photon walk at least
+        # every ceil(n_active / A) steps.
+        rot = jax.random.randint(
+            jax.random.fold_in(key, 3_000_017), (), 0, n_ph
+        )
+        atab_rot, aovf = misfit_compact(
+            jnp.roll(has_mates, -rot).astype(jnp.float32), A
+        )
+        atab = jnp.where(atab_rot < n_ph, (atab_rot + rot) % n_ph, n_ph)
         wi = jnp.clip(atab, 0, n_ph - 1)
         w_active = atab < n_ph
         w_start, w_end = p_start[wi], p_end[wi]

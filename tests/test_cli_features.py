@@ -92,6 +92,31 @@ def test_tpu_section_options(tmp_path):
     assert not sim.options.packed_fused
 
 
+def test_active_capacity_auto_defaults(tmp_path):
+    """With no explicit tpu: override, the QED active-set compactions
+    auto-size from the per-device species capacities (docs/input.md):
+    emission = electron capacity / 8, absorption = photon capacity / 4,
+    both floored at 4096."""
+    sim, _, params = build(_write(tmp_path), n_devices=4)
+    ecap = params["capacities"]["electron"]
+    pcap = params["capacities"]["photon"]
+    assert sim.options.emission_active_capacity == max(
+        4096, -(-max(4096, ecap // 8) // 8) * 8
+    )
+    assert sim.options.absorption_active_capacity == max(
+        4096, -(-max(4096, pcap // 4) // 8) * 8
+    )
+    # explicit 0 disables
+    feats = (
+        "tpu:\n"
+        "  absorption_active_capacity: 0\n"
+        "  emission_active_capacity: 0\n"
+    )
+    sim, _, _ = build(_write(tmp_path, feats), n_devices=4)
+    assert sim.options.emission_active_capacity == 0
+    assert sim.options.absorption_active_capacity == 0
+
+
 def test_replicated_initial_photons(tmp_path):
     """Replicated mode with an initial photon population: pcap is
     per-device, so generation must not be capped at pcap TOTAL."""

@@ -350,16 +350,67 @@ def test_absorption_active_compaction_equivalence():
     # some photons were actually absorbed, or the test shows nothing
     assert int(jnp.sum(~c_ph.alive & jnp.asarray(alive))) > 0
 
-    # undersized capacity: overflow counted, skipped depths untouched
+    # undersized capacity: overflow counted; exactly `cap` active rows
+    # walked (which ones is rotation-dependent), the rest untouched
     (tiny_sp, tiny_ovf) = run(8)
     n_active_mates = int(np.sum(alive & (cells == 3)))
     assert int(tiny_ovf) == n_active_mates - 8
     t_ph = tiny_sp["photon"]
-    walked = np.flatnonzero(np.asarray(alive) & (cells == 3))[:8]
-    untouched = np.setdiff1d(np.flatnonzero(alive), walked)
-    np.testing.assert_allclose(
-        np.asarray(t_ph.tau_abs)[untouched],
-        np.asarray(ph.tau_abs)[untouched], rtol=0,
+    changed = (
+        np.asarray(t_ph.tau_abs) != np.asarray(ph.tau_abs)
+    ) | (np.asarray(t_ph.alive) != np.asarray(alive))
+    assert changed.sum() == 8
+    assert np.all((alive & (cells == 3))[changed])
+
+
+def test_absorption_active_rotation_fairness():
+    """Under sustained overflow the compacted walk's scan origin rotates
+    per step, so every active photon walks within a few steps — a fixed
+    origin would starve later-indexed photons forever."""
+    chi_g, chi_e, k0, gamma = 2.0, 1.0, 0.1, 10.0
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    u_e = -math.sqrt(gamma**2 - 1)
+    e = _state(
+        SpeciesSpec.electron(), 2,
+        cell=np.array([3, 0], np.int32),
+        weight=np.array([2.0e25, 0.0]),
+        u=np.array([[u_e, 0, 0]] * 2),
+        gamma=np.full(2, gamma),
+        chi=np.full(2, chi_e),
+        alive=np.array([True, False]),
+    )
+    n_ph, cap = 64, 8
+    ph = _state(
+        SpeciesSpec.photon(), n_ph,
+        cell=np.full(n_ph, 3, np.int32),
+        weight=np.full(n_ph, 1.0e10),
+        u=np.array([[k0, 0, 0]] * n_ph),
+        gamma=np.full(n_ph, k0),
+        chi=np.full(n_ph, chi_g),
+        # depths far from zero (no events fire) but small enough that a
+        # per-walk decrement is representable: depths only decrement
+        tau_abs=np.full(n_ph, 1e6),
+        tau_st=np.full(n_ph, 1e6),
+        alive=np.ones(n_ph, bool),
+    )
+    sim = _fake_sim(
+        geom, photon_absorption=True, stimulated_emission=False,
+        absorption_active_capacity=cap,
+    )
+    species = {"electron": e, "photon": ph}
+    key = jax.random.key(3)
+    for step in range(4 * (n_ph // cap)):
+        key, sub = jax.random.split(key)
+        species, ovf = absorb(sim, species, 0.0, sub)
+        assert int(ovf) == n_ph - cap
+    assert np.asarray(species["photon"].alive).all()  # no events fired
+    walked = np.asarray(species["photon"].tau_abs) < 1e6
+    # the rotation origin is random, so demand high coverage rather
+    # than perfection: a FIXED origin walks exactly `cap` photons ever
+    # (the rest starve); 32 random rotations cover each photon with
+    # p = 1 - (1 - cap/n)^32 ~ 0.99
+    assert walked.sum() >= n_ph - 4, (
+        f"starved photons: {np.flatnonzero(~walked)}"
     )
 
 
