@@ -160,13 +160,16 @@ def main(argv=None):
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
-    parser.add_argument("--absorption-active", type=int, default=0,
-                        help="bench A/B: compact the absorption walk to at "
-                             "most N active-with-cell-mates photons per step "
-                             "(0 = walk the whole buffer)")
-    parser.add_argument("--emission-active", type=int, default=0,
-                        help="bench A/B: sample at most N emitters per step "
-                             "(0 = run the sampler over the whole buffer)")
+    parser.add_argument("--absorption-active", type=int, default=-1,
+                        help="compact the absorption walk to at most N "
+                             "active-with-cell-mates photons per step "
+                             "(-1 = auto: photon capacity / 4, matching the "
+                             "CLI default; 0 = walk the whole buffer)")
+    parser.add_argument("--emission-active", type=int, default=-1,
+                        help="sample at most N emitters per step (-1 = "
+                             "auto: electron capacity / 8, matching the CLI "
+                             "default; 0 = run the sampler over the whole "
+                             "buffer)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the timed block")
     parser.add_argument("--verbose", action="store_true")
@@ -218,6 +221,15 @@ def main(argv=None):
         dx = 1.0e-8
         dt = 0.95 * dx / const.SPEED_OF_LIGHT
         geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    cap = int(n_particles // ndev * 1.25)
+    if args.fused:  # fused kernel needs capacity % block == 0
+        cap = -(-cap // args.fused_block) * args.fused_block
+    # auto-sized QED active-set compactions (mirrors cli.build; the
+    # bench photon capacity equals the electron capacity)
+    if args.emission_active < 0:
+        args.emission_active = max(4096, cap // 8) if args.qed else 0
+    if args.absorption_active < 0:
+        args.absorption_active = max(4096, cap // 4) if args.qed else 0
     opts = SimOptions(
         dt=dt, current_deposition=args.deposition, migration=args.migration,
         photon_emission=args.qed, photon_absorption=args.qed,
@@ -262,9 +274,6 @@ def main(argv=None):
     )
 
     drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
-    cap = int(n_particles // ndev * 1.25)
-    if args.fused:  # fused kernel needs capacity % block == 0
-        cap = -(-cap // args.fused_block) * args.fused_block
     # particles are generated on their owning devices: nothing big
     # crosses host->device (matters on remote-attached TPUs)
     if args.qed:
