@@ -1,0 +1,65 @@
+#!/bin/bash
+# One-shot TPU measurement session: run the full round-2 capture matrix
+# back-to-back while the axon tunnel is healthy, logging everything.
+# Usage: bash tools/tpu_capture.sh [logfile]   (run from /root/repo)
+# Never attaches the profiler (it wedges the tunnel).
+set -u
+cd /root/repo
+LOG=${1:-/tmp/tpu_capture.log}
+OUTD=/tmp/tpu_capture_runs
+mkdir -p "$OUTD"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  say "=== STAGE $name: $*"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  say "=== STAGE $name rc=$?"
+}
+
+say "capture session starting"
+
+# 1. headline bench (packed fused, 8.4M, f32)
+run_stage bench-default 1500 python bench.py --verbose
+# 2. packed A/B
+run_stage bench-nopacked 1500 python bench.py --verbose --no-packed
+# 3. QED bench with auto active-set compactions
+run_stage bench-qed-auto 1800 python bench.py --verbose --qed
+# 4. QED compaction A/B (walk the whole buffers)
+run_stage bench-qed-full 1800 python bench.py --verbose --qed \
+  --absorption-active 0 --emission-active 0
+# 5. 2M-particle continuity point
+run_stage bench-2m 1200 python bench.py --verbose --particles 2097152
+
+# 6. colliding_beams FULL duration (reference deck, npc=100)
+CB=$OUTD/colliding_beams
+rm -rf "$CB"; mkdir -p "$CB"
+cp examples/colliding_beams.yaml "$CB/"
+run_stage colliding-beams-full 2400 \
+  python -m opal_tpu "$CB/colliding_beams.yaml"
+say "colliding_beams outputs:"; ls -la "$CB" >> "$LOG" 2>&1
+for f in "$CB"/*_energy.dat; do
+  [ -e "$f" ] && { say "--- $f"; cat "$f" >> "$LOG"; }
+done
+
+# 7. two_stream FULL duration, DEFAULT (mixed) precision: energy drift
+TS=$OUTD/two_stream
+rm -rf "$TS"; mkdir -p "$TS"
+cp examples/two_stream.yaml "$TS/"
+run_stage two-stream-full 3000 python -m opal_tpu "$TS/two_stream.yaml"
+python - >> "$LOG" 2>&1 <<'EOF'
+import glob, os
+d = "/tmp/tpu_capture_runs/two_stream"
+fs = sorted(glob.glob(os.path.join(d, "*_energy.dat")),
+            key=lambda p: int(os.path.basename(p).split("_")[0]))
+def tot(p):
+    return sum(float(l.split()[1]) for l in open(p) if l.split())
+if fs:
+    t0, t1 = tot(fs[0]), tot(fs[-1])
+    print(f"two_stream energy: first={t0:.6e} last={t1:.6e} "
+          f"rel drift={(t1 - t0) / t0:.3e} over {len(fs)} outputs")
+EOF
+
+say "capture session complete"
