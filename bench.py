@@ -341,10 +341,14 @@ def main(argv=None):
     elapsed = time.monotonic() - t0
 
     pushes_per_sec = n_particles * args.steps / elapsed
-    lost = {k: int(v) for k, v in out[6].items()}
-    if any(lost.values()):
-        print(f"# WARNING buffer-overflow particle losses: {lost}",
+    counters = {k: int(v) for k, v in out[6].items()}
+    deferred = counters.pop("qed_deferred", 0)
+    if any(counters.values()):
+        print(f"# WARNING buffer-overflow particle losses: {counters}",
               file=sys.stderr)
+    if deferred:
+        print(f"# note: QED active-set backlog: {deferred} particle-steps "
+              "deferred (delays, not losses)", file=sys.stderr)
     if args.verbose:
         print(
             f"# device={jax.devices()[0].device_kind} x{ndev} "

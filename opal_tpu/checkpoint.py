@@ -152,10 +152,17 @@ def load(directory, sim):
         species[name] = sim.shard_particles(ParticleState(**fields))
 
     itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-    counters = {
-        name: jnp.asarray(arrays[f"counter/{name}"], itype)
-        for name in manifest["species"]
-    }
+    # restore every saved counter (species losses + extras like
+    # qed_deferred), and zero-fill counters the current configuration
+    # expects but the (older) checkpoint lacks
+    counters = dict(sim.zero_counters())
+    for k, a in arrays.items():
+        if k.startswith("counter/"):
+            name = k[len("counter/"):]
+            counters[name] = jax.device_put(
+                jnp.asarray(a, itype),
+                NamedSharding(sim.mesh, P()),
+            )
     key = jax.random.wrap_key_data(jnp.asarray(arrays["key"]))
     return (
         manifest["step"], manifest["t"], E, B, J, rho, species, key, counters

@@ -613,6 +613,7 @@ def main(argv=None) -> int:
         )
         out.write_energies(output_dir, index, fe, ee, ie, pe)
 
+    last_deferred = 0
     for i in range(first_output, n_outputs):
         dump(i)
         if i > first_output:
@@ -643,10 +644,20 @@ def main(argv=None) -> int:
         E, B, J, rho, species, t, counters = res[:7]
         if sim._event_log:
             out.write_event_log(sys.stderr, res[7], sim.options)
-        lost = {k: int(v) for k, v in counters.items() if int(v) > 0}
+        deferred = int(counters.get("qed_deferred", 0))
+        lost = {k: int(v) for k, v in counters.items()
+                if k != "qed_deferred" and int(v) > 0}
         if lost:
             print(f"warning: buffer-overflow particle losses: {lost}",
                   file=sys.stderr)
+        if deferred > last_deferred:
+            print(
+                f"note: QED active-set backlog: {deferred} particle-steps "
+                "deferred to later steps so far (delays, not losses; raise "
+                "tpu: absorption/emission_active_capacity to shrink)",
+                file=sys.stderr,
+            )
+            last_deferred = deferred
 
     dump(n_outputs)
     print(

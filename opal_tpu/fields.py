@@ -98,6 +98,11 @@ def electrostatic_init(E, B, J, rho, geom: GridGeometry, axis_name, axis_index):
     exclusive prefix of per-device totals via ``all_gather`` — O(n_loc)
     per device with one small collective instead of a serialized ring.
 
+    ``axis_name=None`` means the inputs are already global (replicated-
+    field mode: every device holds the whole grid and J/rho were psum'd
+    by the caller) — no collectives are issued; a mesh axis name here
+    would double-count the totals by the mesh size.
+
     Arguments are owned-cell slabs; returns updated (E, B).  Ey, Ez and
     Bx are untouched (zero-initialised).  The sweep starts after the
     left boundary zone; left-zone cells get the domain boundary fields
@@ -115,9 +120,13 @@ def electrostatic_init(E, B, J, rho, geom: GridGeometry, axis_name, axis_index):
     g = global_cells(geom, axis_index)
     interior = (g >= geom.interior_start) & (g < geom.interior_end)
 
-    rho_tot = halo.psum(jnp.sum(jnp.where(interior, rho, 0.0)), axis_name)
-    jy_tot = halo.psum(jnp.sum(jnp.where(interior, J[:, 1], 0.0)), axis_name)
-    jz_tot = halo.psum(jnp.sum(jnp.where(interior, J[:, 2], 0.0)), axis_name)
+    rho_tot = jnp.sum(jnp.where(interior, rho, 0.0))
+    jy_tot = jnp.sum(jnp.where(interior, J[:, 1], 0.0))
+    jz_tot = jnp.sum(jnp.where(interior, J[:, 2], 0.0))
+    if axis_name is not None:
+        rho_tot = halo.psum(rho_tot, axis_name)
+        jy_tot = halo.psum(jy_tot, axis_name)
+        jz_tot = halo.psum(jz_tot, axis_name)
 
     dom_Ex = -rho_tot * dx / (2.0 * eps0)
     dom_By = -mu0 * jz_tot * dx / 2.0
@@ -127,6 +136,8 @@ def electrostatic_init(E, B, J, rho, geom: GridGeometry, axis_name, axis_index):
 
     def global_cumsum(c):
         local = jnp.cumsum(c)
+        if axis_name is None:
+            return local
         totals = lax.all_gather(local[-1], axis_name)
         prefix = jnp.sum(
             jnp.where(jnp.arange(n) < axis_index, totals, 0.0)

@@ -44,11 +44,12 @@ from .vec3 import orthogonal as _orthogonal, rotate_around as _rotate_around
 
 def emit_radiation(sim, species, t, key):
     """Emission pass over the electron population; returns
-    ``(species, overflow)`` where overflow counts photons that found no
-    free buffer slot on this device (plus, with active-set compaction,
-    emitters beyond the capacity — their tau stays negative, so they
-    emit next step).  ``sim`` supplies options/geometry (any object
-    with ``.options`` and ``.geom``)."""
+    ``(species, lost, deferred)``: ``lost`` counts photons that found
+    no free buffer slot on this device (real losses); ``deferred``
+    counts emitters beyond the active-set capacity — their tau stays
+    negative, so they emit on a later step (a delay, not a loss).
+    ``sim`` supplies options/geometry (any object with ``.options``
+    and ``.geom``)."""
     opt = sim.options
     e = species["electron"]
     ph = species["photon"]
@@ -190,7 +191,7 @@ def emit_radiation(sim, species, t, key):
         basis=jnp.concatenate([k_ph, k_ph], axis=1).astype(dtype),
     )
     ph, overflow = insert(ph, buf, keep)
-    return {**species, "electron": e, "photon": ph}, overflow + eovf
+    return {**species, "electron": e, "photon": ph}, overflow, eovf
 
 
 def absorb(sim, species, t, key, axis_index=None, presorted=False):
@@ -203,12 +204,17 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     die and kick their electron by (w_ph/w_e) k; stimulated events
     append a photon with the electron's weight and kick by -k.
 
-    Returns ``(species, overflow)`` — or ``(species, overflow, events)``
-    when either extra-output feature is enabled, where ``events`` is a
-    ``((n_ph, 14) record array, (n_ph,) valid mask)`` pair holding the
-    reference's per-event dump row (``interactions.rs:267-289``):
-    ``x t birth_time chi_g k0 k1 k2 k3 chi_e p0 p1 p2 p3 kind`` with
-    kind 1 = absorbed, 2 = stimulated.
+    Returns ``(species, lost, deferred)`` — or ``(species, lost,
+    deferred, events)`` when either extra-output feature is enabled.
+    ``lost`` counts stimulated-emission copies that found no free
+    buffer slot (real losses); ``deferred`` counts walk work pushed to
+    later steps (photons beyond the active-set capacity — depths
+    untouched — plus cell-mate candidates beyond
+    ``absorption_candidates``).  ``events`` is a ``((n_ph, 14) record
+    array, (n_ph,) valid mask)`` pair holding the reference's per-event
+    dump row (``interactions.rs:267-289``): ``x t birth_time chi_g k0
+    k1 k2 k3 chi_e p0 p1 p2 p3 kind`` with kind 1 = absorbed,
+    2 = stimulated.
     """
     from .grid import HALO
 
@@ -520,7 +526,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     )
     ph, overflow = insert(ph, buf, stimulated)
     out_species = {**species, "electron": e, "photon": ph}
-    total_ovf = overflow + overflow_pairs + aovf
+    deferred = overflow_pairs + aovf
     if events is not None:
-        return out_species, total_ovf, events
-    return out_species, total_ovf
+        return out_species, overflow, deferred, events
+    return out_species, overflow, deferred

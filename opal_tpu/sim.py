@@ -876,7 +876,7 @@ class Simulation:
                 axis_index=ai, presorted=e_presorted,
             )
             if self._event_log:
-                species, ovf, (rec, want) = res
+                species, ovf, dfr, (rec, want) = res
                 ring, count = events
                 cap = ring.shape[0]
                 # `count` is the TOTAL events seen (may exceed cap);
@@ -890,19 +890,25 @@ class Simulation:
                 count = count + jnp.sum(want)
                 events = (ring, count)
             else:
-                species, ovf = res
+                species, ovf, dfr = res
             counters = {
-                **counters, "photon": counters["photon"] + halo.psum(ovf, "x")
+                **counters,
+                "photon": counters["photon"] + halo.psum(ovf, "x"),
+                "qed_deferred": counters["qed_deferred"]
+                + halo.psum(dfr, "x"),
             }
         if opt.photon_emission:
             from .interactions import emit_radiation
 
             key, sub = jax.random.split(key)
-            species, ovf = emit_radiation(
+            species, ovf, dfr = emit_radiation(
                 self, species, t, jax.random.fold_in(sub, ai)
             )
             counters = {
-                **counters, "photon": counters["photon"] + halo.psum(ovf, "x")
+                **counters,
+                "photon": counters["photon"] + halo.psum(ovf, "x"),
+                "qed_deferred": counters["qed_deferred"]
+                + halo.psum(dfr, "x"),
             }
 
         # 5: deposition
@@ -1148,11 +1154,15 @@ class Simulation:
                 J, rho = halo.fold_currents_local(J_slab, rho_slab, geom)
                 J = halo.psum(J, "x")
                 rho = halo.psum(rho, "x")
-                fi = jnp.zeros((), jnp.int32)
+                # J/rho are now global on every device: no further
+                # collectives (an axis here would double-count the
+                # sheet-field totals by the mesh size)
+                E, B = electrostatic_init(
+                    E, B, J, rho, geom, None, jnp.zeros((), jnp.int32)
+                )
             else:
                 J, rho = halo.fold_currents(J_slab, rho_slab, geom, "x", ai)
-                fi = ai
-            E, B = electrostatic_init(E, B, J, rho, geom, "x", fi)
+                E, B = electrostatic_init(E, B, J, rho, geom, "x", ai)
             return E, B, J, rho
 
         sp_specs = self._pspec(species)
@@ -1177,9 +1187,15 @@ class Simulation:
         # and force a ~20s recompile through the remote-compile path)
         itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
         rep = NamedSharding(self.mesh, P())
+        names = list(self.specs)
+        if self.options.photon_emission or self.options.photon_absorption:
+            # QED work pushed to a later step by the active-set
+            # compactions / candidate bound — a delay, not a loss;
+            # reported separately from the overflow losses
+            names.append("qed_deferred")
         return {
             name: jax.device_put(jnp.zeros((), itype), rep)
-            for name in self.specs
+            for name in names
         }
 
     def zero_events(self):
@@ -1207,8 +1223,12 @@ class Simulation:
         rest = ()
         if self._event_log:
             rest = (events if events is not None else self.zero_events(),)
+        # t rides the scan carry in the FIELD dtype: under the default
+        # mixed precision (f32 particles, f64 fields) an f32 t would
+        # accumulate per-step rounding and skew the laser phase
+        # laser_y(t, x) late in long runs
         t0 = jax.device_put(
-            jnp.asarray(t0, self.dtype), NamedSharding(self.mesh, P())
+            jnp.asarray(t0, self.field_dtype), NamedSharding(self.mesh, P())
         )
         return self._run(
             E, B, J, rho, species, t0, key, counters, *rest, nsteps=nsteps,

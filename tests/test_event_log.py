@@ -71,7 +71,7 @@ def test_absorb_returns_event_records():
             dt=1.0e-15, photon_absorption=True, extra_absorption_output=True
         ),
     )
-    species, overflow, (rec, want) = absorb(
+    species, overflow, _, (rec, want) = absorb(
         sim, {"electron": e, "photon": ph}, 2.5e-15, jax.random.key(0)
     )
     want = np.asarray(want)

@@ -59,13 +59,14 @@ def test_emission_momentum_conservation_and_insert(active_cap):
     )
     ph = _state(SpeciesSpec.photon(), 1024)
 
-    species, overflow = emit_radiation(
+    species, overflow, deferred = emit_radiation(
         sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
     )
     e2, ph2 = species["electron"], species["photon"]
     emitted = np.asarray(ph2.alive).sum()
     assert emitted == n // 4
     assert int(overflow) == 0
+    assert int(deferred) == 0
 
     # recoil: total momentum conserved (photon momenta match electron du)
     du = np.asarray(e.u) - np.asarray(e2.u)
@@ -101,7 +102,7 @@ def test_emission_energy_min_filter_still_recoils():
         tau=np.full(n, -0.5), alive=np.ones(n, bool),
     )
     ph = _state(SpeciesSpec.photon(), 128)
-    species, _ = emit_radiation(
+    species, _, _ = emit_radiation(
         sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(2)
     )
     # all photons filtered out...
@@ -201,7 +202,7 @@ def test_absorption_event_kick():
     sigma, valid = cross_sections.photon_absorption(k4, p4, chi_g, chi_e)
     assert bool(valid) and float(sigma) > 0
 
-    species, overflow = absorb(
+    species, overflow, _ = absorb(
         sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(0)
     )
     e2, ph2 = species["electron"], species["photon"]
@@ -224,7 +225,7 @@ def test_stimulated_emission_event():
     )
     sim = _fake_sim(geom, photon_absorption=True)
 
-    species, overflow = absorb(
+    species, overflow, _ = absorb(
         sim, {"electron": e, "photon": ph}, 7.5e-14, jax.random.key(0)
     )
     e2, ph2 = species["electron"], species["photon"]
@@ -283,7 +284,7 @@ def test_absorption_probability_statistics():
         tau_st=np.full(n_ph, 1e30),
         alive=np.ones(n_ph, bool),
     )
-    species, _ = absorb(sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(4))
+    species, _, _ = absorb(sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(4))
     absorbed = n_ph - int(jnp.sum(species["photon"].alive))
     expected = n_ph * (1.0 - math.exp(-p_event))
     sd = math.sqrt(expected)
@@ -333,10 +334,10 @@ def test_absorption_active_compaction_equivalence():
             sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(7)
         )
 
-    (full_sp, full_ovf) = run(0)
+    (full_sp, full_ovf, full_dfr) = run(0)
     # n_ph - 1 so the compacted branch actually engages (compact
     # requires capacity < n_ph) while still covering every active row
-    (comp_sp, comp_ovf) = run(n_ph - 1)
+    (comp_sp, comp_ovf, comp_dfr) = run(n_ph - 1)
     f_ph, c_ph = full_sp["photon"], comp_sp["photon"]
     np.testing.assert_array_equal(np.asarray(f_ph.alive), np.asarray(c_ph.alive))
     np.testing.assert_allclose(
@@ -347,14 +348,17 @@ def test_absorption_active_compaction_equivalence():
         np.asarray(comp_sp["electron"].ux), rtol=1e-12,
     )
     assert int(full_ovf) == int(comp_ovf) == 0
+    assert int(full_dfr) == int(comp_dfr) == 0
     # some photons were actually absorbed, or the test shows nothing
     assert int(jnp.sum(~c_ph.alive & jnp.asarray(alive))) > 0
 
-    # undersized capacity: overflow counted; exactly `cap` active rows
-    # walked (which ones is rotation-dependent), the rest untouched
-    (tiny_sp, tiny_ovf) = run(8)
+    # undersized capacity: the excess is DEFERRED (not lost); exactly
+    # `cap` active rows walked (which ones is rotation-dependent), the
+    # rest untouched
+    (tiny_sp, tiny_ovf, tiny_dfr) = run(8)
     n_active_mates = int(np.sum(alive & (cells == 3)))
-    assert int(tiny_ovf) == n_active_mates - 8
+    assert int(tiny_ovf) == 0
+    assert int(tiny_dfr) == n_active_mates - 8
     t_ph = tiny_sp["photon"]
     changed = (
         np.asarray(t_ph.tau_abs) != np.asarray(ph.tau_abs)
@@ -401,8 +405,9 @@ def test_absorption_active_rotation_fairness():
     key = jax.random.key(3)
     for step in range(4 * (n_ph // cap)):
         key, sub = jax.random.split(key)
-        species, ovf = absorb(sim, species, 0.0, sub)
-        assert int(ovf) == n_ph - cap
+        species, ovf, dfr = absorb(sim, species, 0.0, sub)
+        assert int(ovf) == 0
+        assert int(dfr) == n_ph - cap
     assert np.asarray(species["photon"].alive).all()  # no events fired
     walked = np.asarray(species["photon"].tau_abs) < 1e6
     # the rotation origin is random, so demand high coverage rather
@@ -434,10 +439,11 @@ def test_emission_active_capacity_overflow():
         chi=np.full(n, 0.5), tau=tau, alive=np.ones(n, bool),
     )
     ph = _state(SpeciesSpec.photon(), 1024)
-    species, overflow = emit_radiation(
+    species, overflow, deferred = emit_radiation(
         sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
     )
-    assert int(overflow) == 64 - 16
+    assert int(overflow) == 0
+    assert int(deferred) == 64 - 16
     assert int(np.asarray(species["photon"].alive).sum()) == 16
     tau2 = np.asarray(species["electron"].tau)
     walked = np.flatnonzero(tau < 0)[:16]

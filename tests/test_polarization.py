@@ -110,7 +110,7 @@ def test_emission_photons_carry_polarization_state(monkeypatch):
 
     sim = FakeSim()
     sim.geom = geom
-    species, overflow = emit_radiation(
+    species, overflow, _ = emit_radiation(
         sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
     )
     ph2 = species["photon"]

@@ -125,6 +125,56 @@ def test_replicated_kills_at_global_edges():
     assert (cell[alive] < geom.interior_end).all()
 
 
+def test_replicated_initialize_fields_matches_domain_mode():
+    """The Gauss/Ampère setup must give the same initial fields from
+    both decompositions.  Regression: the replicated branch fed its
+    already-psum'd global J/rho into electrostatic_init's own psum,
+    scaling the sheet-field boundary terms by the mesh size."""
+    def init_fields(replicated):
+        dx = 500.0
+        dt = 0.95 * dx / const.SPEED_OF_LIGHT
+        geom = GridGeometry(
+            nx=256, dx=dx, xmin=0.0, n_devices=1 if replicated else NDEV,
+            left_boundary="laser", right_boundary="absorbing",
+        )
+        opts = SimOptions(
+            dt=dt, current_deposition=True, migration=True,
+            replicate_fields=replicated,
+        )
+        espec = SpeciesSpec.electron()
+        mesh = make_mesh(NDEV)
+        sim = Simulation(geom, opts, {"electron": espec}, mesh=mesh,
+                         dtype=jnp.float64, field_dtype=jnp.float64)
+        host = initialize(
+            espec, geom, 8,
+            density=_slab_density(),
+            ux=lambda x, u, nr: 0.05 * np.sign(u - 0.5),
+            uy=lambda x, u, nr: np.full_like(x, 0.01),
+            uz=lambda x, u, nr: np.full_like(x, -0.02),
+            dt=dt, capacity_per_device=256 * 8, seed=0, dtype=np.float64,
+        )
+        if replicated:
+            n_alive = int(np.asarray(host.alive).sum())
+            cap = -(-(-(-n_alive // NDEV)) // 128) * 128
+            host = shard_even(host, NDEV, cap)
+        species = {"electron": sim.shard_particles(host)}
+        E, B, J, rho = sim.init_fields()
+        E, B, J, rho = sim.initialize_fields(E, B, J, rho, species)
+        s, e = geom.interior_start, geom.interior_end
+        return (
+            np.asarray(E)[s:e], np.asarray(B)[s:e], np.asarray(rho)[s:e]
+        )
+
+    # the extended-grid padding differs between the decompositions
+    # (n_loc rounding), so compare the 256 interior cells
+    E_r, B_r, rho_r = init_fields(True)
+    E_d, B_d, rho_d = init_fields(False)
+    np.testing.assert_allclose(rho_r, rho_d, rtol=1e-12, atol=1e-30)
+    assert np.abs(E_d[:, 0]).max() > 0
+    np.testing.assert_allclose(E_r, E_d, rtol=1e-12, atol=1e-25)
+    np.testing.assert_allclose(B_r, B_d, rtol=1e-12, atol=1e-25)
+
+
 def test_replicated_particle_x_is_global():
     """Replicated-mode cells are global: particle_quantity('x') must
     not add a per-device offset (it did — every shard d > 0 reported
