@@ -128,12 +128,18 @@ def deposit_sorted(
     # shift every column by its offset in ONE gather (particles in cell
     # c deposit column k at cell c + off_k), then assemble the outputs
     # in one pass — per-column rolls would be 15 tiny kernels, and the
-    # per-kernel launch cost dominates at this size.  Wrapped rows are
-    # zero: alive particles live in [HALO, HALO + n_loc) and
-    # |off| <= 2 < HALO.
+    # per-kernel launch cost dominates at this size.  Out-of-slab taps
+    # are masked to zero rather than wrapped: in-domain particles live
+    # in [HALO, HALO + n_loc) with |off| <= 2 < HALO, but a particle
+    # several cells out of domain between migration exchanges (cadence
+    # M > 1) can reach past the slab edge.
     offs = jnp.asarray([off for _, off, _ in plan])
-    src = (jnp.arange(n_slab)[:, None] - offs[None, :]) % n_slab
+    src_raw = jnp.arange(n_slab)[:, None] - offs[None, :]
+    src = jnp.clip(src_raw, 0, n_slab - 1)
     shifted = jnp.take_along_axis(seg, src, axis=0)  # (n_slab, 15)
+    shifted = jnp.where(
+        (src_raw >= 0) & (src_raw < n_slab), shifted, 0.0
+    )
 
     comp_of = [comp for _, _, comp in plan]
     Jx = sum(shifted[:, k] for k in range(15) if comp_of[k] == 0)
@@ -175,14 +181,22 @@ def deposit(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     vy = velocity[:, 1]
     vz = velocity[:, 2]
 
-    J = J.at[jnp.concatenate(jx_idx), 0].add(jnp.concatenate(jx_val))
-    J = J.at[jnp.concatenate(jy_idx), 1].add(
+    # Negative taps must DROP, not wrap: past-the-end indices are
+    # dropped by the default scatter mode, but negative ones wrap
+    # numpy-style onto the far end of the slab — reachable when a
+    # particle sits several cells out of domain between migration
+    # exchanges (cadence M > 1) and its stencil reaches past the halo.
+    n = rho.shape[0]
+    guard = lambda ix: jnp.where(ix < 0, n, ix)
+
+    J = J.at[guard(jnp.concatenate(jx_idx)), 0].add(jnp.concatenate(jx_val))
+    J = J.at[guard(jnp.concatenate(jy_idx)), 1].add(
         jnp.concatenate([macrocharge * vy * w / dx for w in jperp_w])
     )
-    J = J.at[jnp.concatenate(jy_idx), 2].add(
+    J = J.at[guard(jnp.concatenate(jy_idx)), 2].add(
         jnp.concatenate([macrocharge * vz * w / dx for w in jperp_w])
     )
-    rho = rho.at[jnp.concatenate(jy_idx + [idx - 2])].add(
+    rho = rho.at[guard(jnp.concatenate(jy_idx + [idx - 2]))].add(
         jnp.concatenate([macrocharge * w / dx for w in jperp_w + [w_m2q]])
     )
     return J, rho

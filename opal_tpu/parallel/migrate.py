@@ -855,7 +855,13 @@ def migrate_edges_packed(
     CA = ps.aux.shape[1]
     block = RB * 128
     n = nblk * block
-    kb = -(-window // block)
+    # kb >= 2 blocks: b0 floors (n_alive - K/2) to a block, so the
+    # alive/dead boundary lands in [t0 + K/2, t0 + K/2 + block) — it is
+    # guaranteed inside the window [t0, t0 + K) only when block <= K/2.
+    # With kb == 1 a boundary in the upper half-block would fall OUTSIDE
+    # the tail window: right-leavers just below it would never exchange
+    # and the dead pool would be invisible to arrivals.
+    kb = max(2, -(-window // block))
     if nblk < 2 * kb:
         # too small for block-aligned non-overlapping windows: the
         # head+tail windows must cover leavers AND the dead pool, so

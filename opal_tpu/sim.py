@@ -723,9 +723,7 @@ class Simulation:
         """Maintenance sort of every fused species + fresh exact block
         anchors.  Runs once per sort period (statically scheduled)."""
         from .ops import fused as F
-        from .parallel.migrate import sort_state
-
-        from .parallel.migrate import sort_packed
+        from .parallel.migrate import sort_packed, sort_state
 
         geom = self.geom
         E, B, J, rho, species, t, counters, events, anchors_d = carry
@@ -767,7 +765,7 @@ class Simulation:
 
     def _device_step(self, carry, key, ai, inline_sort, inline_migrate):
         from .ops import fused as F
-        from .parallel.migrate import sort_state
+        from .parallel.migrate import sort_packed, sort_state
 
         geom, opt = self.geom, self.options
         E, B, _J_prev, _rho_prev, species, t, counters, events, anchors_d = (
@@ -791,8 +789,6 @@ class Simulation:
         new_anchors = dict(anchors_d)
         for name in self.specs:
             if isinstance(species[name], F.PackedState):
-                from .parallel.migrate import sort_packed
-
                 fspec = self._fused_spec(name)
                 ps0 = species[name]
                 if inline_sort:

@@ -69,3 +69,31 @@ def test_sorted_charge_conservation():
     J2, r_now = deposit_sorted(J, rho, idx, x, prev_x, q, vel, dx, dt)
     total = float(jnp.sum(r_now) * dx)
     np.testing.assert_allclose(total, float(jnp.sum(q)), rtol=1e-10)
+
+
+def test_out_of_domain_taps_drop_not_wrap():
+    """A particle several cells out of domain (migration cadence M > 1
+    leaves up to M cells of drift between exchanges) has stencil taps
+    past the slab edge: they must be DROPPED, not wrapped onto the far
+    end of the slab (numpy negative-index semantics corrupted the last
+    rows), in both deposition paths."""
+    n_loc = 16
+    n_slab = n_loc + 2 * HALO
+    # cell = -3 -> slab idx = 1; jx tap at idx-2 = -1, rho quirk tap too
+    idx = jnp.asarray(np.array([1], np.int32))
+    x = jnp.asarray([0.2])
+    prev_x = jnp.asarray([1.1])  # crossed from the right: flux at -1.5 fires
+    q = jnp.asarray([1.0])
+    vel = jnp.asarray(np.array([[1e7, 1e7, 1e7]]))
+    dx, dt = 500.0, 1e-12
+    for fn in (deposit, deposit_sorted):
+        J, rho = fn(
+            jnp.zeros((n_slab, 3)), jnp.zeros(n_slab), idx, x, prev_x,
+            q, vel, dx, dt,
+        )
+        J, rho = np.asarray(J), np.asarray(rho)
+        # nothing may land on the far half of the slab
+        assert np.all(J[n_slab // 2:] == 0.0), fn.__name__
+        assert np.all(rho[n_slab // 2:] == 0.0), fn.__name__
+        # the in-slab taps still deposit
+        assert np.any(J[:4] != 0.0) and np.any(rho[:4] != 0.0), fn.__name__

@@ -110,6 +110,48 @@ def test_packed_kernel_matches_column_kernel():
     np.testing.assert_array_equal(np.asarray(anch2), np.asarray(anch2p))
 
 
+@pytest.mark.physics
+def test_packed_edge_window_covers_boundary_upper_half_block():
+    """Regression: with window <= block (kb == 1) the block-floored
+    tail window [t0, t0+K) excluded an alive/dead boundary in the
+    upper half-block (e.g. n_alive=1824 -> window [1536,1792)):
+    right-leavers above it were never exchanged and the dead pool was
+    invisible to arrivals.  kb is now floored at 2."""
+    ndev, nx, npc = 4, 128, 57  # 1824 alive/device, 8 blocks of 256
+    geom = GridGeometry(nx=nx, dx=500.0, xmin=0.0, n_devices=ndev)
+    dt = 0.95 * 500.0 / const.SPEED_OF_LIGHT
+    opts = SimOptions(
+        dt=dt, current_deposition=True, migration=True,
+        fused_pusher=True, fused_block=256, fused_window=40,
+        fused_resort_every=4, fused_misfit_capacity=128,
+        migration_every=3, migration_window=256, migration_capacity=64,
+        packed_fused=True,
+    )
+    espec = SpeciesSpec.electron()
+    sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
+    state = initialize(
+        espec, geom, npc,
+        density=lambda x: np.full_like(np.asarray(x, float), 20.0),
+        ux=lambda x, u, nr: 0.2 * np.sign(u - 0.5),
+        uy=lambda x, u, nr: np.zeros_like(x),
+        uz=lambda x, u, nr: np.zeros_like(x),
+        dt=dt, capacity_per_device=256 * 8, seed=0, dtype=np.float32,
+    )
+    species = {"electron": sim.shard_particles(state)}
+    E, B, J, rho = sim.init_fields()
+    res = sim.run(
+        E, B, J, rho, species, 0.0, jax.random.key(0),
+        sim.zero_counters(), 24,
+    )
+    sp = res[4]["electron"]
+    alive = np.asarray(sp.alive)
+    cell = np.asarray(sp.cell)
+    assert alive.sum() == nx * npc  # none lost
+    assert int(res[6]["electron"]) == 0
+    n_loc = nx // ndev
+    assert ((cell[alive] >= 0) & (cell[alive] < n_loc)).all()
+
+
 def _mini_sim(packed: bool, nsteps: int = 8, npc: int = 1):
     """A small periodic two-stream run; npc=1 gives unique sort keys so
     packed and unpacked pipelines see identical particle orders."""
