@@ -44,9 +44,16 @@ PROXY_NODE_PUSHES_PER_SEC = 1.1e9  # 64 x measured 1.73e7/core
 # for minutes while a killed client's queued work drains.  Both must be
 # survived: the probe runs in a child process with a hard deadline and
 # the parent only touches jax after a child succeeds.
+# Worst-case time-to-JSON matters as much as tolerance: the driver may
+# bound the whole capture, and a traceback-free JSON line after ~20 min
+# is as useless as a traceback if the capture was killed at 10.  The
+# backlog drains server-side in real time, so what buys recovery is the
+# TOTAL probing window, not any single probe's deadline: 4 x 150 s of
+# probing + 105 s of backoff ~= 12 min covers a multi-minute drain
+# while keeping the all-dead worst case inside a 15-minute budget.
 _PROBE_ATTEMPTS = 4
-_PROBE_DEADLINE_S = 240
-_PROBE_BACKOFF_S = (20, 60, 120)
+_PROBE_DEADLINE_S = 150
+_PROBE_BACKOFF_S = (15, 30, 60)
 _PROBE_CODE = """
 import os
 import jax
