@@ -33,6 +33,15 @@ run_stage bench-qed-full 1800 python bench.py --verbose --qed \
 # 5. 2M-particle continuity point
 run_stage bench-2m 1200 python bench.py --verbose --particles 2097152
 
+# 5b. packed-kernel knob A/Bs (each reuses the warm compile cache for
+# its repeated shapes; first compiles are the cost)
+run_stage bench-w8 1200 python bench.py --verbose --fused-window 8
+run_stage bench-blk4096 1200 python bench.py --verbose --fused-block 4096
+run_stage bench-resort512 1200 python bench.py --verbose --fused-resort 512
+run_stage bench-m6 1200 python bench.py --verbose --migrate-every 6
+# QED migration-cadence A/B (halo-aware pairing lifted the M=1 pin)
+run_stage bench-qed-m1 1500 python bench.py --verbose --qed --migrate-every 1
+
 # 6. colliding_beams FULL duration (reference deck, npc=100)
 CB=$OUTD/colliding_beams
 rm -rf "$CB"; mkdir -p "$CB"
