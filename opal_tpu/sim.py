@@ -318,10 +318,13 @@ class Simulation:
             return True  # only packed because it was applicable
         opt, geom = self.options, self.geom
         n_rows = geom.n_loc + 2 * HALO + 2 * F.PAD
+        # current_deposition is NOT required: deposition-off decks
+        # (colliding_beams.yaml) run the same kernel with the deposit
+        # section skipped (FusedSpec.dep_skip) — dropping to the
+        # unfused ops for them was a ~6x pusher regression
         return (
             opt.fused_pusher
             and opt.migration
-            and opt.current_deposition
             and self.specs[name].kind in ("electron", "ion")
             and st.x.dtype == jnp.float32
             and st.x.shape[0] % opt.fused_block == 0
@@ -357,6 +360,7 @@ class Simulation:
             charge=spec.charge, mass=spec.mass,
             pusher="vay" if spec.kind == "electron" else "boris",
             row_off=HALO + F.PAD,
+            dep_skip=not opt.current_deposition,
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
@@ -480,10 +484,13 @@ class Simulation:
                     ux=u_b[:, 0], uy=u_b[:, 1], uz=u_b[:, 2], gamma=gb,
                 )
                 vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
-            J2, rho2 = deposit(
-                J_add, rho_add, fb["cell"] + HALO, fb["x"], fb["prev_x"],
-                m_q, vel, geom.dx, opt.dt,
-            )
+            if opt.current_deposition:
+                J2, rho2 = deposit(
+                    J_add, rho_add, fb["cell"] + HALO, fb["x"],
+                    fb["prev_x"], m_q, vel, geom.dx, opt.dt,
+                )
+            else:  # J_add is unused downstream (step 5 gate)
+                J2, rho2 = J_add, rho_add
             sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
             out = tuple(
                 sc(u_col, fb[fname]) if fname in fb else u_col
@@ -585,11 +592,12 @@ class Simulation:
             )
             prev_x, chi = px_b, jnp.zeros_like(x_b)
             vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
-        J_add, rho_add = deposit(
-            J_add, rho_add,
-            out9[:, 0].astype(jnp.int32) + HALO, out9[:, 1], prev_x,
-            m_q, vel, geom.dx, opt.dt,
-        )
+        if opt.current_deposition:
+            J_add, rho_add = deposit(
+                J_add, rho_add,
+                out9[:, 0].astype(jnp.int32) + HALO, out9[:, 1], prev_x,
+                m_q, vel, geom.dx, opt.dt,
+            )
         h = H_new.reshape(-1).at[idx].set(
             out9.astype(jnp.float32), mode="drop"
         ).reshape(H_new.shape)
