@@ -50,6 +50,9 @@ def main(argv=None):
                         "population (bench.py --qed workload)")
     p.add_argument("--absorption-active", type=int, default=0)
     p.add_argument("--emission-active", type=int, default=0)
+    p.add_argument("--no-deposition", dest="deposition",
+                   action="store_false", default=True,
+                   help="colliding_beams-shaped step (fused dep_skip)")
     args = p.parse_args(argv)
 
     import jax
@@ -84,7 +87,8 @@ def main(argv=None):
         dt = 0.95 * dx / const.SPEED_OF_LIGHT
         geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
     opts = SimOptions(
-        dt=dt, migration_capacity=512, fused_pusher=True,
+        dt=dt, current_deposition=args.deposition,
+        migration_capacity=512, fused_pusher=True,
         fused_window=16, fused_block=2048, fused_resort_every=64,
         migration_every=3,
         photon_emission=args.qed, photon_absorption=args.qed,

@@ -30,6 +30,8 @@ run_stage bench-qed-auto 1800 python bench.py --verbose --qed
 # 4. QED compaction A/B (walk the whole buffers)
 run_stage bench-qed-full 1800 python bench.py --verbose --qed \
   --absorption-active 0 --emission-active 0
+# 4b. colliding_beams-shaped QED: deposition off -> fused dep_skip path
+run_stage bench-qed-nodep 1800 python bench.py --verbose --qed --no-deposition
 # 5. 2M-particle continuity point
 run_stage bench-2m 1200 python bench.py --verbose --particles 2097152
 
