@@ -167,6 +167,11 @@ def main(argv=None):
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
+    parser.add_argument("--no-absorption", dest="absorption",
+                        action="store_false", default=True,
+                        help="with --qed: emission only (the exact "
+                             "colliding_beams.yaml physics — the deck runs "
+                             "photon_absorption: false)")
     parser.add_argument("--absorption-active", type=int, default=-1,
                         help="compact the absorption walk to at most N "
                              "active-with-cell-mates photons per step "
@@ -239,7 +244,8 @@ def main(argv=None):
         args.absorption_active = max(4096, cap // 4) if args.qed else 0
     opts = SimOptions(
         dt=dt, current_deposition=args.deposition, migration=args.migration,
-        photon_emission=args.qed, photon_absorption=args.qed,
+        photon_emission=args.qed,
+        photon_absorption=args.qed and args.absorption,
         # sized for the real flux (CFL bounds leavers to one boundary
         # cell of particles per step; the bench plasma drifts 0.01c, so
         # ~20/side/step); compact-migration searchsorted/gather/scatter

@@ -587,6 +587,17 @@ def main(argv=None) -> int:
     runtime = time.monotonic()
 
     def dump(index):
+        if (
+            "photon" in species
+            and not opt.photon_absorption
+            and not opt.immobile_photons
+        ):
+            # the step skips the per-step photon chi update when no
+            # absorption pass consumes it; refresh before output and
+            # checkpoint so chi histograms/saved state are current
+            species["photon"] = sim.refresh_photon_chi(
+                E, B, species["photon"]
+            )
         if rp.get("checkpoint"):
             from . import checkpoint
 

@@ -177,17 +177,12 @@ def boris_push(cell, x, y, z, u, charge, mass, E, B, dx, dt):
     return cell, x_new, prev_x, y_new, z_new, u_new, gamma_m1, chi
 
 
-def photon_push(cell, x, y, z, k, E, B, dx, dt):
-    """Ballistic photon push with chi update (``photon.rs:150-183``).
-
-    ``k`` is the photon momentum in units of m_e c.  Returns updated
-    (cell, x, prev_x, y, z, chi).
-    """
+def photon_chi(k, E, B):
+    """Instantaneous photon quantum parameter from the local fields
+    (``photon.rs:165-176``).  ``k`` in units of m_e c."""
     c = const.SPEED_OF_LIGHT
     k0 = jnp.sqrt(jnp.maximum(_dot(k, k), 1.0e-300))
-    v = c * k / k0[:, None]
-
-    chi = (
+    return (
         jnp.sqrt(
             jnp.maximum(
                 _dot(
@@ -200,6 +195,22 @@ def photon_push(cell, x, y, z, k, E, B, dx, dt):
         )
         / const.CRITICAL_FIELD
     )
+
+
+def photon_push(cell, x, y, z, k, E, B, dx, dt):
+    """Ballistic photon push with chi update (``photon.rs:150-183``).
+
+    ``k`` is the photon momentum in units of m_e c.  Returns updated
+    (cell, x, prev_x, y, z, chi).  Pass ``E = B = None`` to skip the
+    chi update (chi is returned as None): with the absorption pass off
+    chi has no physics consumer during stepping and is refreshed
+    lazily at output time (``Simulation.refresh_photon_chi``).
+    """
+    c = const.SPEED_OF_LIGHT
+    k0 = jnp.sqrt(jnp.maximum(_dot(k, k), 1.0e-300))
+    v = c * k / k0[:, None]
+
+    chi = None if E is None else photon_chi(k, E, B)
 
     prev_x = x
     x_new = x + v[:, 0] * dt / dx

@@ -43,7 +43,7 @@ from .grid import HALO, GridGeometry, apply_boundaries, em_field_energy_local
 from .ops import maxwell
 from .ops.deposit import deposit, deposit_sorted
 from .ops.interp import fields_at
-from .ops.pusher import boris_push, photon_push, vay_push
+from .ops.pusher import boris_push, photon_chi, photon_push, vay_push
 from .parallel import halo
 from .parallel.migrate import migrate, migrate_sorted
 from .species import ParticleState, SpeciesSpec, kinetic_energy_weights
@@ -254,6 +254,21 @@ class Simulation:
     def _push_species(self, name, st: ParticleState, E_slab, B_slab, t):
         geom, opt = self.geom, self.options
         spec = self.specs[name]
+        if spec.kind == "photon" and not opt.photon_absorption:
+            # chi has no physics consumer without the absorption pass
+            # (it only feeds the cross sections, photon.rs:320-341) and
+            # is instantaneous, not accumulated — skip the full-capacity
+            # field gather here and refresh it at output/checkpoint time
+            # (refresh_photon_chi); the ballistic push is elementwise
+            if opt.immobile_photons:
+                return st
+            cell, x, prev_x, y, z, _ = photon_push(
+                st.cell, st.x, st.y, st.z, st.u, None, None,
+                geom.dx, opt.dt,
+            )
+            return dataclasses.replace(
+                st, cell=cell, x=x, prev_x=prev_x, y=y, z=z
+            )
         idx = st.cell + HALO
         Ep, Bp = fields_at(E_slab, B_slab, idx, st.x)
         # mixed precision: particles advance in their own dtype
@@ -1262,3 +1277,33 @@ class Simulation:
         """Global kinetic energy of a species in joules
         (``mod.rs:227-240``)."""
         return float(jnp.sum(kinetic_energy_weights(self.specs[name], state)))
+
+    def refresh_photon_chi(self, E, B, st: ParticleState) -> ParticleState:
+        """Recompute photon chi from the current positions and fields.
+
+        With ``photon_absorption`` off the step skips the per-step
+        photon field gather (see ``_push_species``) because chi is an
+        instantaneous diagnostic there (``photon.rs:165-176``) — the
+        CLI calls this before outputs/checkpoints so ``chi`` histogram
+        specs and saved state stay fresh.  No-op-cheap: one gather per
+        output block instead of one per step."""
+        geom, opt = self.geom, self.options
+
+        def device_fn(E, B, cell, x, u):
+            if opt.replicate_fields:
+                E_slab, B_slab = halo.exchange_fields_local(E, B, geom)
+            else:
+                ai = lax.axis_index("x")
+                E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
+            Ep, Bp = fields_at(E_slab, B_slab, cell + HALO, x)
+            return photon_chi(u, Ep.astype(x.dtype), Bp.astype(x.dtype))
+
+        f3 = P(None, None) if opt.replicate_fields else P("x", None)
+        chi = jax.jit(
+            jax.shard_map(
+                device_fn, mesh=self.mesh, check_vma=False,
+                in_specs=(f3, f3, P("x"), P("x"), P("x", None)),
+                out_specs=P("x"),
+            )
+        )(E, B, st.cell, st.x, st.u)
+        return dataclasses.replace(st, chi=chi)

@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--no-deposition", dest="deposition",
                    action="store_false", default=True,
                    help="colliding_beams-shaped step (fused dep_skip)")
+    p.add_argument("--no-absorption", dest="absorption",
+                   action="store_false", default=True,
+                   help="with --qed: emission only (colliding_beams shape)")
     args = p.parse_args(argv)
 
     import jax
@@ -91,7 +94,8 @@ def main(argv=None):
         migration_capacity=512, fused_pusher=True,
         fused_window=16, fused_block=2048, fused_resort_every=64,
         migration_every=3,
-        photon_emission=args.qed, photon_absorption=args.qed,
+        photon_emission=args.qed,
+        photon_absorption=args.qed and args.absorption,
         absorption_candidates=64,
         absorption_active_capacity=args.absorption_active,
         emission_active_capacity=args.emission_active,

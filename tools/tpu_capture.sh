@@ -32,6 +32,10 @@ run_stage bench-qed-full 1800 python bench.py --verbose --qed \
   --absorption-active 0 --emission-active 0
 # 4b. colliding_beams-shaped QED: deposition off -> fused dep_skip path
 run_stage bench-qed-nodep 1800 python bench.py --verbose --qed --no-deposition
+# 4c. exact colliding_beams physics: emission only, deposition off,
+# lazy photon chi (no per-step photon field gather)
+run_stage bench-qed-cb 1800 python bench.py --verbose --qed \
+  --no-deposition --no-absorption
 # 5. 2M-particle continuity point
 run_stage bench-2m 1200 python bench.py --verbose --particles 2097152
 
