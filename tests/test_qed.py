@@ -157,12 +157,25 @@ def test_out_of_range_flags():
 
 
 @pytest.mark.physics
-def test_sample_quantum_energy_distribution():
-    """Empirical CDF of sampled u must match the tabulated QUANTUM_CDF."""
-    chi_idx = 20  # chi = 1.0 exactly on the table
-    chi = math.exp(T.LN_CHI_MIN + chi_idx * T.LN_CHI_STEP)
+@pytest.mark.parametrize("chi_idx", [0, 10, 20, 30])  # chi = 0.01..10
+def test_sample_quantum_energy_distribution(chi_idx):
+    """Empirical CDF of sampled u must match the tabulated QUANTUM_CDF.
+
+    The tables themselves are the regression targets — the reference's
+    spectrum tests (``photon_emission.rs:338-410``, commented out
+    upstream) only dump data files, so per the build plan the targets
+    are generated from the tabulated CDFs directly.  chi = 0.01 (node
+    0) takes the quantum branch exactly as in the reference: the
+    truncated ``LN_CHI_MIN`` constant makes ``ln(0.01) > LN_CHI_MIN``
+    (``photon_emission.rs:139``) — but ``exp(LN_CHI_MIN)`` itself does
+    NOT (its log round-trips to exactly ``LN_CHI_MIN``, which routes
+    classical in both codes), so node 0 must use the literal 0.01.
+    """
+    chi = 0.01 if chi_idx == 0 else math.exp(
+        T.LN_CHI_MIN + chi_idx * T.LN_CHI_STEP
+    )
     gamma = 1000.0
-    n = 200_000
+    n = 1_000_000
     rng = np.random.default_rng(1)
     r1, r2, r3 = rng.random(n), rng.random(n), rng.random(n)
     omega, theta, phi = emission.sample(
@@ -171,15 +184,108 @@ def test_sample_quantum_energy_distribution():
     omega = np.asarray(omega)
     u = omega / (gamma - omega)  # invert omega = gamma u / (1 + u)
     table = T.QUANTUM_CDF_TABLE[chi_idx]
-    for ln_u, ln_cdf in table[5:28:4]:
+    for ln_u, ln_cdf in table[3:29:2]:
         frac = np.mean(u <= math.exp(ln_u))
         expected = math.exp(ln_cdf)
         sigma = math.sqrt(max(expected * (1 - expected) / n, 1e-12))
-        assert abs(frac - expected) < max(5 * sigma, 0.002), (
+        assert abs(frac - expected) < max(5 * sigma, 0.001), (
             ln_u,
             frac,
             expected,
         )
+
+
+def test_sample_chi_below_table_floor_is_classical():
+    """At chi below the table floor ``sample`` must fall back to the
+    classical sampler with the QED energy correction
+    (``photon_emission.rs:139-143`` semantics).  Note chi = 0.01
+    itself stays quantum (truncated LN_CHI_MIN), hence 0.009 here."""
+    n = 10_000
+    rng = np.random.default_rng(11)
+    chi, gamma = 0.009, 1000.0
+    r1, r2, r3 = rng.random(n), rng.random(n), rng.random(n)
+    omega, theta, _ = emission.sample(
+        jnp.full(n, chi), jnp.full(n, gamma), r1, r2, r3
+    )
+    omega_c, theta_c, _ = emission.classical_sample(
+        jnp.full(n, chi), jnp.full(n, gamma), r1, r2, r3
+    )
+    omega_c = np.asarray(omega_c)
+    expected = omega_c * gamma / (gamma + omega_c)
+    np.testing.assert_allclose(np.asarray(omega), expected, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(theta), np.asarray(theta_c),
+                               rtol=1e-12)
+
+
+@pytest.mark.physics
+@pytest.mark.parametrize("delta_idx", [15, 20, 25])
+def test_sample_angular_distribution(delta_idx):
+    """Empirical CDF of the angular variable y must match the tabulated
+    Y_CDF row (targets generated from the tables; the reference's
+    angular-spectrum test, ``photon_emission.rs:371-410``, only dumps
+    data).
+
+    Fixing r1 pins the photon energy u so that the angular parameter
+    delta lands exactly on table node ``delta_idx``; the sampled polar
+    angle is then mapped back to y = z * beta and binned against the
+    (y, cdf) rows, conditioned on the sampling floor y > beta.
+    """
+    from scipy.optimize import brentq
+
+    chi, gamma = 1.0, 1000.0
+    chi_idx = 20  # chi = 1 exactly on the table -> single-table branch
+    delta_t = math.exp(T.LN_DELTA_MIN + delta_idx * T.LN_DELTA_STEP)
+    u_star = brentq(
+        lambda u: (1.0 + (1.0 + u) ** 2)
+        * (2.0 * u / (3.0 * chi)) ** (-2.0 / 3.0)
+        / (1.0 + u)
+        - delta_t,
+        1e-6,
+        3.0,
+    )
+    beta = 2.0 * u_star / (3.0 * chi)
+    # r1 from the forward CDF (pwmci.evaluate is validated separately;
+    # the sampler under test uses the fixed-iteration inversion)
+    ev, ok = pwmci.evaluate(
+        emission._QUANTUM_PREP, chi_idx, math.log(u_star)
+    )
+    assert bool(ok)
+    r1 = math.exp(float(ev))
+
+    n = 400_000
+    rng = np.random.default_rng(delta_idx)
+    omega, theta, _ = emission.sample(
+        jnp.full(n, chi),
+        jnp.full(n, gamma),
+        jnp.full(n, r1),
+        rng.random(n),
+        rng.random(n),
+    )
+    # energy must be pinned to u_star by construction
+    u_back = np.asarray(omega) / (gamma - np.asarray(omega))
+    np.testing.assert_allclose(u_back, u_star, rtol=1e-8)
+    # invert theta -> z -> y  (z = y / beta, _angle_from_z)
+    theta = np.asarray(theta)
+    z23 = 2.0 * gamma * (gamma - np.cos(theta) * math.sqrt(gamma**2 - 1.0))
+    y = np.maximum(z23, 0.0) ** 1.5 * beta
+
+    r_zero, ok0 = pwmci.evaluate(emission._Y_PREP, delta_idx, beta)
+    r_zero = float(r_zero)
+    assert bool(ok0)
+    checked = 0
+    for yk, fk in np.asarray(T.Y_CDF_TABLE[delta_idx]):
+        if yk < beta * 1.1 or fk > 0.999:
+            continue  # below the conditional floor / saturated tail
+        frac = np.mean(y <= yk * (1.0 + 1e-9))
+        expected = (fk - r_zero) / (1.0 - r_zero)
+        sigma = math.sqrt(max(expected * (1 - expected) / n, 1e-12))
+        assert abs(frac - expected) < max(5 * sigma, 0.002), (
+            yk,
+            frac,
+            expected,
+        )
+        checked += 1
+    assert checked >= 15
 
 
 @pytest.mark.physics
@@ -202,9 +308,10 @@ def test_sample_bounds_and_finiteness():
 
 
 def test_classical_sample_spectrum_shape():
-    """Classical spectrum: check empirical CDF of x = 2 u z / (3 chi)
-    against the CLASSICAL_SPECTRUM_TABLE at a few interior points."""
-    n = 200_000
+    """Classical spectrum (the chi = 0.01 energy-spectrum target):
+    check the empirical CDF of x = 2 u z / (3 chi) against the
+    CLASSICAL_SPECTRUM_TABLE at interior points."""
+    n = 1_000_000
     rng = np.random.default_rng(3)
     chi, gamma = 0.01, 1000.0
     r1 = rng.random(n)
