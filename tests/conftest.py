@@ -27,6 +27,16 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: test shapes are deterministic, and on
+# this single-core image the suite's wall time is dominated by XLA
+# compiles — a warm cache cuts repeat unit-tier runs (the /verify path)
+# by several-fold.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 
 def pytest_collection_modifyitems(items):
     """Every test not explicitly in the ``physics`` tier is ``unit``,

@@ -291,6 +291,7 @@ def test_absorption_probability_statistics():
     assert abs(absorbed - expected) < 5 * sd, (absorbed, expected)
 
 
+@pytest.mark.physics
 def test_absorption_active_compaction_equivalence():
     """With stimulated emission off the walk is deterministic given the
     optical depths, so the compacted active-set walk (capacity covering
@@ -367,6 +368,7 @@ def test_absorption_active_compaction_equivalence():
     assert np.all((alive & (cells == 3))[changed])
 
 
+@pytest.mark.physics
 def test_absorption_active_rotation_fairness():
     """Under sustained overflow the compacted walk's scan origin rotates
     per step, so every active photon walks within a few steps — a fixed
@@ -419,6 +421,7 @@ def test_absorption_active_rotation_fairness():
     )
 
 
+@pytest.mark.physics
 def test_emission_active_capacity_overflow():
     """Emitters beyond ``emission_active_capacity`` are counted and keep
     their negative depth (they emit next step)."""

@@ -114,6 +114,7 @@ def test_refresh_replicated_mode():
     )
 
 
+@pytest.mark.physics
 def test_absorption_on_still_updates_chi_per_step():
     # with the absorption pass ON the step keeps the per-step update
     # (the cross sections consume chi every step)

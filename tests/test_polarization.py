@@ -2,6 +2,7 @@
 pol/basis fields, ``with_polarization_along``, ``helicity``)."""
 
 import numpy as np
+import pytest
 
 from opal_tpu import polarization
 from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
@@ -68,6 +69,7 @@ def test_helicity_of_circular_states():
     np.testing.assert_allclose(h, [1.0, 0.0, 0.5], atol=1e-14)
 
 
+@pytest.mark.physics
 def test_emission_photons_carry_polarization_state(monkeypatch):
     """Emitted photons get pol = 0, basis = [k, k] (photon.rs:107-108)."""
     import jax

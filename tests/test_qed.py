@@ -307,6 +307,7 @@ def test_sample_bounds_and_finiteness():
     assert np.all((phi >= 0) & (phi <= 2 * math.pi))
 
 
+@pytest.mark.physics
 def test_classical_sample_spectrum_shape():
     """Classical spectrum (the chi = 0.01 energy-spectrum target):
     check the empirical CDF of x = 2 u z / (3 chi) against the
