@@ -51,6 +51,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -97,12 +98,25 @@ class FusedSpec(NamedTuple):
     dep_skip: bool = False
 
 
+#: scalar literals fed to jnp.* ufuncs inside kernel code MUST be f32:
+#: under jax_enable_x64 a Python float becomes a weak-f64 scalar whose
+#: f32 conversion lands inside the jnp wrapper's sub-jaxpr, and Mosaic
+#: has no f64->f32 cast (RecursionError through _convert_helper at
+#: lowering).  Plain binary ops (a * 1.5) fold at trace time and are
+#: safe; jnp.where/maximum/minimum with literal operands are not.
+_ZERO = np.float32(0.0)
+_ONE = np.float32(1.0)
+_IM1 = np.int32(-1)
+_IP1 = np.int32(1)
+_IZ = np.int32(0)
+
+
 def _w2(xh):
     """Second-order b-spline weight (``yee.rs:140-149``)."""
     a = jnp.abs(xh)
     inner = 0.75 - a * a
     outer = 1.125 - 1.5 * a + 0.5 * a * a
-    return jnp.where(a > 1.5, 0.0, jnp.where(a < 0.5, inner, outer))
+    return jnp.where(a > 1.5, _ZERO, jnp.where(a < 0.5, inner, outer))
 
 
 def _copysign(v, s):
@@ -125,7 +139,7 @@ def _flux(x_i, x_f):
     same = x_i * x_f >= 0.0
     return jnp.where(
         inner_i, jnp.where(~inner_f, v1, jnp.where(same, v2, v3)),
-        jnp.where(inner_f, v4, 0.0),
+        jnp.where(inner_f, v4, _ZERO),
     )
 
 
@@ -145,7 +159,7 @@ def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
         Ez += ce * win[wdx, 2]
         By += cc * win[wdx, 4]
         Bz += cc * win[wdx, 5]
-        Bx += jnp.where(rel == wdx, win[wdx, 3], 0.0)
+        Bx += jnp.where(rel == wdx, win[wdx, 3], _ZERO)
     return (Ex * fitf, Ey * fitf, Ez * fitf,
             Bx * fitf, By * fitf, Bz * fitf)
 
@@ -192,9 +206,9 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     prev = x
     xn = x + C * unx * dt / (dx * gn)
     fl = jnp.floor(xn)
-    shift = jnp.where(fl < 0.0, -1, jnp.where(fl > 0.0, 1, 0)).astype(
-        cell.dtype
-    )
+    shift = jnp.where(
+        fl < 0.0, _IM1, jnp.where(fl > 0.0, _IP1, _IZ)
+    ).astype(cell.dtype)
     celln = cell + shift
     xn = xn - fl
     prevn = prev - fl
@@ -212,8 +226,8 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     # chi and gamma_half feed the OUT-OF-KERNEL optical-depth update
     # (qed.emission.rate): rate(chi=0) = 0, so zeroed non-updated rows
     # are naturally inert there
-    ngh_ref[...] = jnp.where(upd, gh, 1.0)
-    nchi_ref[...] = jnp.where(upd, chi, 0.0)
+    ngh_ref[...] = jnp.where(upd, gh, _ONE)
+    nchi_ref[...] = jnp.where(upd, chi, _ZERO)
     miss_ref[...] = miss.astype(F32)
     # exact per-block minimum of the post-push cell rows (fit rows
     # only, so stray arrivals cannot drag a block's window away from
@@ -222,13 +236,13 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     # with no fit rows report n_rows (clipped by the caller; every row
     # is then dead or already a misfit).
     amin_ref[pl.ds(b, 1), :] = jnp.full(
-        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
+        (1, 128), jnp.min(jnp.where(upd, celln, np.int32(spec.n_rows))), jnp.int32
     )
 
     # ---- deposit: one-hot batched matmul over the window ------------
     if spec.dep_skip:
         return
-    qd = jnp.where(upd, q, 0.0)
+    qd = jnp.where(upd, q, _ZERO)
     _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
 
 
@@ -258,7 +272,7 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
         fz = gh * Ez + C * (uhx * By - uhy * Bx)
         eu = Ex * uhx + Ey * uhy + Ez * uhz
         chi = jnp.sqrt(
-            jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, 0.0)
+            jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, _ZERO)
         ) / const.CRITICAL_FIELD
 
         upx = uhx + alpha * Ex
@@ -568,9 +582,9 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     prev = x
     xn = x + C * unx * dt / (dx * gn)
     fl = jnp.floor(xn)
-    shift = jnp.where(fl < 0.0, -1, jnp.where(fl > 0.0, 1, 0)).astype(
-        jnp.int32
-    )
+    shift = jnp.where(
+        fl < 0.0, _IM1, jnp.where(fl > 0.0, _IP1, _IZ)
+    ).astype(jnp.int32)
     celln = cell + shift
     xn = xn - fl
     prevn = prev - fl
@@ -587,16 +601,16 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     hn_ref[0, 7] = jnp.where(upd, gn, g)
     hn_ref[0, 8] = jnp.where(upd, work, work_in)
     an_ref[0, 0] = jnp.where(upd, prevn, x)
-    an_ref[0, 1] = jnp.where(upd, chi, 0.0)
-    an_ref[0, 2] = jnp.where(upd, gh, 1.0)
+    an_ref[0, 1] = jnp.where(upd, chi, _ZERO)
+    an_ref[0, 2] = jnp.where(upd, gh, _ONE)
     an_ref[0, 3] = miss.astype(F32)
     amin_ref[pl.ds(b, 1), :] = jnp.full(
-        (1, 128), jnp.min(jnp.where(upd, celln, spec.n_rows)), jnp.int32
+        (1, 128), jnp.min(jnp.where(upd, celln, np.int32(spec.n_rows))), jnp.int32
     )
 
     if spec.dep_skip:
         return
-    qd = jnp.where(upd, q, 0.0)
+    qd = jnp.where(upd, q, _ZERO)
     _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
 
 

@@ -222,6 +222,13 @@ class Simulation:
                 )
         self.dtype = dtype
         self.field_dtype = field_dtype if field_dtype is not None else dtype
+        # Pallas interpret mode keyed on the MESH platform, not
+        # jax.default_backend(): with a site hook pre-registering a TPU
+        # plugin, the default backend can be TPU while this sim's mesh
+        # is the virtual CPU one (or vice versa after a backend-init
+        # fallback).  tests/test_tpu_lowering.py overrides this to
+        # cross-lower the Mosaic path without hardware.
+        self._interpret = self.mesh.devices.flat[0].platform == "cpu"
         zero = lambda t, x: jnp.zeros((), self.field_dtype)
         self.laser_y = laser_y or zero
         self.laser_z = laser_z or zero
@@ -408,7 +415,7 @@ class Simulation:
             fspec, anchors, st.cell, st.x, st.y, st.z,
             st.ux, st.uy, st.uz, st.gamma, st.weight,
             st.work if st.work is not None else zero, eb,
-            interpret=jax.default_backend() == "cpu",
+            interpret=self._interpret,
         )
         J_add, rho_add = F.fold_out_slab(out_slab)
 
@@ -542,7 +549,7 @@ class Simulation:
         eb = F.make_eb_rows(E_slab, B_slab)
         H_new, A_new, out_slab, anchors_next = F.fused_push_deposit_packed(
             fspec, anchors, ps.h, ps.weight, eb,
-            interpret=jax.default_backend() == "cpu",
+            interpret=self._interpret,
         )
         J_add, rho_add = F.fold_out_slab(out_slab)
         ps = F.PackedState(h=H_new, aux=A_new, weight=ps.weight, tau=ps.tau)
