@@ -34,4 +34,12 @@ run_stage tiny-qed-nocompact 900 python bench.py --verbose --qed \
 # 4. unfused pipeline (is the fused kernel implicated at all?)
 run_stage tiny-qed-nofused 900 python bench.py --verbose --qed --no-fused \
   --particles 262144 --nx 256 --steps 50
+# 5. scale ramp: if tiny passes, the fault may be a per-program wall-time
+# watchdog (a slow QED step x 250-step compiled block), not an illegal
+# access.  Ramp size and steps separately.
+run_stage mid-qed-s10 1200 python bench.py --verbose --qed \
+  --particles 2097152 --steps 10
+run_stage mid-qed-s50 1200 python bench.py --verbose --qed \
+  --particles 2097152 --steps 50
+run_stage big-qed-s10 1500 python bench.py --verbose --qed --steps 10
 say "qed fault bisect complete"
