@@ -207,9 +207,9 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     Returns ``(species, lost, deferred)`` — or ``(species, lost,
     deferred, events)`` when either extra-output feature is enabled.
     ``lost`` counts stimulated-emission copies that found no free
-    buffer slot (real losses); ``deferred`` counts walk work pushed to
-    later steps (photons beyond the active-set capacity — depths
-    untouched — plus cell-mate candidates beyond
+    buffer slot (real losses); ``deferred`` counts photon-steps pushed
+    to later steps (photons beyond the active-set capacity — depths
+    untouched — plus photons whose cell-mate segment was truncated at
     ``absorption_candidates``).  ``events`` is a ``((n_ph, 14) record
     array, (n_ph,) valid mask)`` pair holding the reference's per-event
     dump row (``interactions.rs:267-289``): ``x t birth_time chi_g k0
@@ -271,8 +271,13 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     pcell = jnp.clip(ph.cell + pad, 0, n_cells - 1)
     p_start = seg_start[pcell]
     p_end = seg_end[pcell]
+    # deferred-walk accounting: count PHOTONS whose candidate segment
+    # was truncated at K this step (units match the active-set overflow
+    # below — photon-steps delayed), not the raw excess-pair count.  A
+    # pair count reaches ~n_ph * n_e/cell per step and wraps the int32
+    # counter within one 50-step block on dense decks.
     overflow_pairs = jnp.sum(
-        jnp.where(ph.alive, jnp.maximum(p_end - p_start - K, 0), 0)
+        (ph.alive & (p_end - p_start > K)).astype(jnp.int32)
     )
 
     # --- photon skip conditions (interactions.rs:176-192) -------------
