@@ -126,7 +126,9 @@ def main(argv=None):
     # v5e single-chip optimum measured 2026-08-17 (3.4e8 pushes/s vs
     # 2.7e8 at 2M)
     parser.add_argument("--particles", type=float, default=8.0 * 2**20)
-    parser.add_argument("--nx", type=int, default=1024)
+    parser.add_argument("--nx", type=int, default=0,
+                        help="grid cells (0 = auto: 1024, or for --qed a "
+                             "beam-deck geometry with ~128 particles/cell)")
     # 250 steps so the timed block contains a maintenance sort at the
     # default cadence (the schedule opens every run with one): shorter
     # blocks under-amortize the per-run sort
@@ -146,19 +148,28 @@ def main(argv=None):
                              "(default on; --no-fused for the unfused "
                              "pipeline)")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
-    parser.add_argument("--no-packed", dest="packed", action="store_false",
-                        default=True, help="bench A/B: column-per-array "
-                        "kernel instead of the packed hot-matrix layout")
+    # packed hot-matrix layout measured ~6% SLOWER than the column
+    # kernel on v5e (2026-08-19 single-knob A/B + combo sweep): the
+    # per-block DMA count was not the bottleneck.  Kept as an A/B knob.
+    parser.add_argument("--packed", dest="packed", action="store_true",
+                        default=False, help="bench A/B: packed hot-matrix "
+                        "layout instead of the column-per-array kernel")
+    parser.add_argument("--no-packed", dest="packed", action="store_false")
     parser.add_argument("--fused-window", type=int, default=0,
                         help="window cells per block (0 = auto: block "
                              "cell span + dispersion slack; the kernel "
                              "re-anchors every block every step, so no "
                              "resort-drift term is needed)")
-    parser.add_argument("--fused-block", type=int, default=2048)
-    parser.add_argument("--fused-resort", type=int, default=256,
+    # 4096 beat 2048 by 11% and 8192 by 3% in the 2026-08-19 combo
+    # sweep (fewer grid programs -> less per-block fixed cost)
+    parser.add_argument("--fused-block", type=int, default=4096)
+    parser.add_argument("--fused-resort", type=int, default=0,
                         help="maintenance-sort cadence (steps): the kernel "
                              "re-anchors blocks every step, so sorts only "
-                             "bound block cell-span growth (dispersion)")
+                             "bound block cell-span growth (dispersion). "
+                             "0 = auto: 256, or 64 for --qed (the beam "
+                             "marches ~1 cell/step, so the edge-migration "
+                             "window grows with the cadence)")
     parser.add_argument("--misfit-capacity", type=int, default=512,
                         help="compacted misfit-fallback rows per step")
     parser.add_argument("--migrate-every", type=int, default=3,
@@ -172,6 +183,11 @@ def main(argv=None):
                         help="with --qed: emission only (the exact "
                              "colliding_beams.yaml physics — the deck runs "
                              "photon_absorption: false)")
+    parser.add_argument("--chi", type=float, default=0.02,
+                        help="with --qed: target quantum parameter of the "
+                             "gamma=1000 bench beam (sets the static B field; "
+                             "default 0.02 ~ colliding_beams-crossing emission "
+                             "rates, no buffer churn)")
     parser.add_argument("--absorption-active", type=int, default=-1,
                         help="compact the absorption walk to at most N "
                              "active-with-cell-mates photons per step "
@@ -221,6 +237,17 @@ def main(argv=None):
     from opal_tpu.species import SpeciesSpec, initialize_device
 
     ndev = args.devices or len(jax.devices())
+    if not args.nx:
+        # non-QED: dense-plasma geometry (two_stream-like, npc ~ 8k at
+        # the 8.4M default).  QED: beam-deck geometry — the reference's
+        # colliding_beams runs npc=100; a c-speed beam at npc ~ 8k/cell
+        # would put thousands of leavers/step through every device
+        # boundary and the migration machinery would dominate the
+        # measurement
+        args.nx = max(1024, int(args.particles) // 128) if args.qed \
+            else 1024
+    if not args.fused_resort:
+        args.fused_resort = 64 if args.qed else 256
     nx = args.nx - args.nx % ndev
     npc = max(1, int(args.particles) // nx)
     n_particles = nx * npc
@@ -247,12 +274,17 @@ def main(argv=None):
         photon_emission=args.qed,
         photon_absorption=args.qed and args.absorption,
         # sized for the real flux (CFL bounds leavers to one boundary
-        # cell of particles per step; the bench plasma drifts 0.01c, so
-        # ~20/side/step); compact-migration searchsorted/gather/scatter
-        # cost scales with this, so do not oversize -- oversizing 8x
-        # costs ~7 ms per exchange on v5e.  Overflow is counted, never
-        # silent (sim counters).
-        migration_capacity=512,
+        # cell of particles per step; the non-QED bench plasma drifts
+        # 0.01c, so ~20/side/step, while the QED beam marches 0.95
+        # cells/step — npc leavers/side/step x the exchange cadence);
+        # compact-migration searchsorted/gather/scatter cost scales
+        # with this, so do not oversize -- oversizing 8x costs ~7 ms
+        # per exchange on v5e.  Overflow is counted, never silent (sim
+        # counters).
+        migration_capacity=(
+            -(-int(npc * args.migrate_every * 1.5 + 128) // 8) * 8
+            if args.qed else 512
+        ),
         fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
         absorption_active_capacity=args.absorption_active,
@@ -272,9 +304,11 @@ def main(argv=None):
         # the edge-exchange window must cover the leaver FRONT, which
         # marches npc * v rows/step through the (row-static) sorted
         # state between maintenance sorts: the bench plasma drifts
-        # 0.01c (0.0095 cells/step under CFL)
+        # 0.01c (0.0095 cells/step under CFL); the QED beam 0.95
         migration_window=max(
-            4096, -(-int(npc * (0.0095 * args.fused_resort + 3)) // 8) * 8
+            4096,
+            -(-int(npc * ((0.95 if args.qed else 0.0095)
+                          * args.fused_resort + 3)) // 8) * 8,
         ),
     )
     espec = SpeciesSpec.electron()
@@ -314,8 +348,19 @@ def main(argv=None):
         )
     E, B, J, rho = sim.init_fields()
     if args.qed:
-        # strong transverse field so the emission/absorption paths fire
-        b0 = const.CRITICAL_FIELD / (1000.0 * const.SPEED_OF_LIGHT)
+        # Transverse field sized for a target quantum parameter on the
+        # gamma=1000 beam: chi = gamma * B / B_crit.  The default
+        # chi=0.02 emits ~0.25 photons/electron per 50 steps (the
+        # colliding_beams crossing regime, chi_peak~0.12 but only a
+        # fraction of the run emitting) so the 3x50-step bench fills
+        # ~60% of the photon buffer with ZERO overflow churn.  chi=1
+        # (the old deck) emits ~9/electron/50 steps — 7x capacity — and
+        # measures nothing but overflow recycling while making the step
+        # slow enough to trip the device's per-program wall-time
+        # watchdog (see BASELINE.md, 2026-08-19 bisect).
+        b0 = args.chi * const.CRITICAL_FIELD / (
+            1000.0 * const.SPEED_OF_LIGHT
+        )
         B = jax.device_put(jnp.zeros_like(B).at[:, 2].set(b0), B.sharding)
     counters = sim.zero_counters()
     key = jax.random.key(0)
