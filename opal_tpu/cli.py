@@ -188,7 +188,9 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     fused_default = 1 if dtype == jnp.float32 else 0
     fused_pusher = bool(tpu_opt("fused_pusher", fused_default))
     block_explicit = int(tpu_opt("fused_block", -1))
-    fused_block = block_explicit if block_explicit > 0 else 2048
+    # 4096 measured fastest on v5e (2026-08-19 combo sweep: +11% over
+    # 2048, +3% over 8192 at 8.4M particles)
+    fused_block = block_explicit if block_explicit > 0 else 4096
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
     fused_resort_every = int(tpu_opt("fused_resort_every", 64))
@@ -264,7 +266,9 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         # it is measured slower
         sorted_pipeline=sorted_pipeline,
         fused_pusher=fused_pusher,
-        packed_fused=bool(tpu_opt("packed_fused", 1)),
+        # packed layout measured ~6% slower than the column kernel on
+        # v5e (2026-08-19 sweep) — off by default, kept as an A/B knob
+        packed_fused=bool(tpu_opt("packed_fused", 0)),
         fused_block=fused_block,
         fused_window=fused_window,
         fused_resort_every=fused_resort_every,
@@ -447,6 +451,13 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         balance_info=balance_info, replicated=replicate,
         initialise_fields=initialise_fields,
         checkpoint=checkpoint_enabled,
+        # device watchdog guard: the tunnel-attached TPU kills any
+        # single program whose device wall time exceeds ~30-90 s
+        # (measured 2026-08-19, tools/qed_fault_bisect.sh), so output
+        # blocks are executed as a loop of <=steps_per_block-step
+        # programs.  0 = auto (50 for QED decks, 1000 otherwise);
+        # negative = never split.
+        steps_per_block=int(tpu_opt("steps_per_block", 0)),
     )
     return sim, species, run_params
 
@@ -512,6 +523,40 @@ def main(argv=None) -> int:
     n_outputs = rp["n_outputs"]
     total_steps = rp["total_steps"]
     steps_bt_output = max(total_steps // max(n_outputs, 1), 1)
+
+    # Device-watchdog guard (see build(): steps_per_block): never let a
+    # single compiled program run long enough to trip the tunnel
+    # device's per-program wall-time kill (~30-90 s, measured
+    # 2026-08-19).  Chunks are balanced so at most two program shapes
+    # compile per run.
+    spb = rp.get("steps_per_block", 0)
+    if spb == 0:
+        qed_on = sim.options.photon_emission or sim.options.photon_absorption
+        spb = 50 if qed_on else 1000
+    if spb > 0 and steps_bt_output > spb + spb // 2:
+        nchunks = -(-steps_bt_output // spb)
+        run_chunk = -(-steps_bt_output // nchunks)
+    else:
+        run_chunk = steps_bt_output
+
+    def run_span(E, B, J, rho, species, t, span_key, counters, nsteps):
+        """Advance nsteps as a loop of <=run_chunk-step programs,
+        threading the event ring through the chunks (identical
+        semantics to one program; only the RNG stream regroups)."""
+        events = sim.zero_events() if sim._event_log else None
+        done = 0
+        while done < nsteps:
+            n = min(run_chunk, nsteps - done)
+            span_key, sub = jax.random.split(span_key)
+            res = sim.run(
+                E, B, J, rho, species, float(t), sub, counters, n,
+                events=events,
+            )
+            E, B, J, rho, species, t, counters = res[:7]
+            if sim._event_log:
+                events = res[7]
+            done += n
+        return E, B, J, rho, species, t, counters, events
 
     ndev = sim.mesh.shape["x"]
     if jax.process_count() > 1:
@@ -643,13 +688,13 @@ def main(argv=None) -> int:
         if args.profile and i == first_output + 1:
             # profile the second block: the first includes compilation
             with jax.profiler.trace(args.profile):
-                res = sim.run(
+                res = run_span(
                     E, B, J, rho, species, float(t), sub, counters,
                     steps_bt_output,
                 )
-                jax.block_until_ready(res)
+                jax.block_until_ready(res[:7])
         else:
-            res = sim.run(
+            res = run_span(
                 E, B, J, rho, species, float(t), sub, counters, steps_bt_output
             )
         E, B, J, rho, species, t, counters = res[:7]

@@ -125,18 +125,20 @@ class SimOptions:
     # edges, fresh arrivals) are handled by a compacted fallback pass
     # of the unfused ops, sized by fused_misfit_capacity.
     fused_pusher: bool = False
-    fused_block: int = 2048
+    fused_block: int = 4096
     fused_window: int = 32
     fused_misfit_capacity: int = 1024
     # packed fast path for fused species: inside the scanned run the
     # species is carried as ONE (nblk, 9, RB, 128) hot matrix + aux/
     # weight arrays (ops.fused.PackedState) so the kernel moves 2
-    # monolithic block DMAs instead of ~24 per-column ones (measured
-    # 3.7 ms/step of push+IO at 8.4M rows on v5e, ~2x the raw traffic).
-    # Packing happens once per run() call; the public ParticleState API
-    # is unchanged.  Disabled automatically for QED runs (the per-step
-    # interaction passes are column-oriented).
-    packed_fused: bool = True
+    # monolithic block DMAs instead of ~24 per-column ones.  Measured
+    # on v5e (2026-08-19 A/B + combo sweep): ~6% SLOWER than the column
+    # kernel — per-block DMA count was not the bottleneck — so it is
+    # OFF by default and kept as an A/B knob.  Packing happens once per
+    # run() call; the public ParticleState API is unchanged.  Disabled
+    # automatically for QED runs (the per-step interaction passes are
+    # column-oriented).
+    packed_fused: bool = False
     # resort cadence R: a LOCAL payload re-sort (migrate.sort_state)
     # opens every R-step period as a statically scheduled phase (no
     # per-step cond); between sorts the kernel re-anchors each block
