@@ -161,8 +161,11 @@ def main(argv=None):
                              "re-anchors every block every step, so no "
                              "resort-drift term is needed)")
     # 4096 beat 2048 by 11% and 8192 by 3% in the 2026-08-19 combo
-    # sweep (fewer grid programs -> less per-block fixed cost)
-    parser.add_argument("--fused-block", type=int, default=4096)
+    # sweep (fewer grid programs -> less per-block fixed cost); the
+    # QED kernel variant OOMs scoped VMEM at 4096, so --qed stays 2048
+    parser.add_argument("--fused-block", type=int, default=0,
+                        help="particles per kernel grid step (0 = auto: "
+                             "4096, or 2048 for --qed)")
     parser.add_argument("--fused-resort", type=int, default=0,
                         help="maintenance-sort cadence (steps): the kernel "
                              "re-anchors blocks every step, so sorts only "
@@ -248,6 +251,8 @@ def main(argv=None):
             else 1024
     if not args.fused_resort:
         args.fused_resort = 64 if args.qed else 256
+    if not args.fused_block:
+        args.fused_block = 2048 if args.qed else 4096
     nx = args.nx - args.nx % ndev
     npc = max(1, int(args.particles) // nx)
     n_particles = nx * npc

@@ -188,9 +188,15 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     fused_default = 1 if dtype == jnp.float32 else 0
     fused_pusher = bool(tpu_opt("fused_pusher", fused_default))
     block_explicit = int(tpu_opt("fused_block", -1))
-    # 4096 measured fastest on v5e (2026-08-19 combo sweep: +11% over
-    # 2048, +3% over 8192 at 8.4M particles)
-    fused_block = block_explicit if block_explicit > 0 else 4096
+    # 4096 measured fastest on v5e for non-QED steps (2026-08-19 combo
+    # sweep: +11% over 2048, +3% over 8192 at 8.4M particles).  The
+    # QED kernel variant carries more per-block VMEM temporaries and
+    # OOMs the 16 MB scoped-vmem budget at 4096 (measured same day),
+    # so QED decks stay at 2048.
+    qed_deck = photon_emission or photon_absorption
+    fused_block = (
+        block_explicit if block_explicit > 0 else (2048 if qed_deck else 4096)
+    )
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
     fused_resort_every = int(tpu_opt("fused_resort_every", 64))

@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-2 capture session B (2026-08-19): first hardware pass after
+# (a) the QED bench-deck retune (chi=0.02 beam geometry — the old
+# chi~1 deck measured overflow churn and tripped the device watchdog),
+# (b) the steps_per_block watchdog guard in the CLI, and (c) the
+# measured-best defaults (column kernel, fused-block 4096).
+# Usage: bash tools/tpu_capture_r2b.sh [logfile]
+set -u
+cd /root/repo
+LOG=${1:-/tmp/tpu_r2b.log}
+OUTD=/tmp/tpu_capture_runs
+mkdir -p "$OUTD"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  say "=== STAGE $name: $*"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  say "=== STAGE $name rc=$?"
+}
+
+say "r2b capture starting"
+
+# 1. the driver's headline config: bench.py defaults (non-QED, 8.4M,
+#    column kernel, blk4096) — expect ~1e9 pushes/s (combo sweep)
+run_stage bench-default 1200 python bench.py --verbose
+
+# 2. retuned QED deck, 2.1M first (bounded program wall time), then
+#    scale.  50-step blocks keep each program well under the watchdog.
+run_stage qed-2m 1800 python bench.py --verbose --qed --particles 2097152 --steps 50
+run_stage qed-8m-s50 1800 python bench.py --verbose --qed --steps 50
+
+# 3. colliding_beams-shaped A/Bs at 2.1M
+run_stage qed-2m-nodep 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --no-deposition
+run_stage qed-2m-cb 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --no-deposition --no-absorption
+run_stage qed-2m-m1 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --migrate-every 1
+
+# 4. colliding_beams FULL duration (reference deck, npc=100) through
+#    the CLI — steps_per_block auto=50 bounds each program
+CB=$OUTD/colliding_beams
+rm -rf "$CB"; mkdir -p "$CB"
+cp examples/colliding_beams.yaml "$CB/"
+run_stage colliding-beams-full 3600 \
+  python -m opal_tpu "$CB/colliding_beams.yaml"
+say "colliding_beams outputs:"; ls -la "$CB" >> "$LOG" 2>&1
+for f in "$CB"/*_energy.dat; do
+  [ -e "$f" ] && { say "--- $f"; cat "$f" >> "$LOG"; }
+done
+
+# 5. two_stream FULL duration, DEFAULT (mixed) precision: the
+#    full-duration energy-drift number VERDICT item 7 asks for
+TS=$OUTD/two_stream
+rm -rf "$TS"; mkdir -p "$TS"
+cp examples/two_stream.yaml "$TS/"
+run_stage two-stream-full 3600 python -m opal_tpu "$TS/two_stream.yaml"
+python - >> "$LOG" 2>&1 <<'EOF'
+import glob, os
+d = "/tmp/tpu_capture_runs/two_stream"
+fs = sorted(glob.glob(os.path.join(d, "*_energy.dat")),
+            key=lambda p: int(os.path.basename(p).split("_")[0]))
+def tot(p):
+    return sum(float(l.split()[1]) for l in open(p) if l.split())
+if fs:
+    t0, t1 = tot(fs[0]), tot(fs[-1])
+    print(f"two_stream energy: first={t0:.6e} last={t1:.6e} "
+          f"rel drift={(t1 - t0) / t0:.3e} over {len(fs)} outputs")
+EOF
+
+say "r2b capture complete"

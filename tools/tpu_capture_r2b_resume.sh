@@ -1,0 +1,57 @@
+#!/bin/bash
+# Resume of tools/tpu_capture_r2b.sh after the qed VMEM-OOM fix
+# (QED decks auto-select fused-block 2048; bench-default already
+# captured: 9.93e8 pushes/s clean).
+# Usage: bash tools/tpu_capture_r2b_resume.sh [logfile]
+set -u
+cd /root/repo
+LOG=${1:-/tmp/tpu_r2b.log}
+OUTD=/tmp/tpu_capture_runs
+mkdir -p "$OUTD"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  say "=== STAGE $name: $*"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  say "=== STAGE $name rc=$?"
+}
+
+say "r2b resume starting"
+
+run_stage qed-2m 1800 python bench.py --verbose --qed --particles 2097152 --steps 50
+run_stage qed-8m-s50 1800 python bench.py --verbose --qed --steps 50
+run_stage qed-2m-nodep 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --no-deposition
+run_stage qed-2m-cb 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --no-deposition --no-absorption
+run_stage qed-2m-m1 1800 python bench.py --verbose --qed --particles 2097152 --steps 50 --migrate-every 1
+
+CB=$OUTD/colliding_beams
+rm -rf "$CB"; mkdir -p "$CB"
+cp examples/colliding_beams.yaml "$CB/"
+run_stage colliding-beams-full 3600 \
+  python -m opal_tpu "$CB/colliding_beams.yaml"
+say "colliding_beams outputs:"; ls -la "$CB" >> "$LOG" 2>&1
+for f in "$CB"/*_energy.dat; do
+  [ -e "$f" ] && { say "--- $f"; cat "$f" >> "$LOG"; }
+done
+
+TS=$OUTD/two_stream
+rm -rf "$TS"; mkdir -p "$TS"
+cp examples/two_stream.yaml "$TS/"
+run_stage two-stream-full 3600 python -m opal_tpu "$TS/two_stream.yaml"
+python - >> "$LOG" 2>&1 <<'EOF'
+import glob, os
+d = "/tmp/tpu_capture_runs/two_stream"
+fs = sorted(glob.glob(os.path.join(d, "*_energy.dat")),
+            key=lambda p: int(os.path.basename(p).split("_")[0]))
+def tot(p):
+    return sum(float(l.split()[1]) for l in open(p) if l.split())
+if fs:
+    t0, t1 = tot(fs[0]), tot(fs[-1])
+    print(f"two_stream energy: first={t0:.6e} last={t1:.6e} "
+          f"rel drift={(t1 - t0) / t0:.3e} over {len(fs)} outputs")
+EOF
+
+say "r2b resume complete"
