@@ -638,6 +638,13 @@ def main(argv=None) -> int:
     runtime = time.monotonic()
 
     def dump(index):
+        if sim.electron_chi_is_lazy:
+            # the lite fused kernel (non-QED decks) skips the per-step
+            # chi diagnostic; refresh before output and checkpoint so
+            # chi histograms/saved state are current
+            species["electron"] = sim.refresh_electron_chi(
+                E, B, species["electron"]
+            )
         if (
             "photon" in species
             and not opt.photon_absorption

@@ -96,6 +96,19 @@ class FusedSpec(NamedTuple):
     # profiling ONLY: skip the deposit section (values + one-hot +
     # matmul) to attribute kernel time
     dep_skip: bool = False
+    # non-QED fast path: skip the chi / gamma-half outputs AND their
+    # compute (two extra sqrt + ~30 flops of the Vay push are only
+    # needed to feed the optical-depth/absorption machinery,
+    # electron.rs:283-287) and the prev_x output (consumed by nothing
+    # between steps — deposition uses it in-kernel, the maintenance
+    # sort rebuilds it as the sorted x, and only the QED event log
+    # reads it back).  The caller carries chi/prev_x unchanged and
+    # refreshes chi lazily at output time (Simulation.refresh_chi).
+    lite: bool = False
+    # carry + integrate the work column (electron.rs:278-280).  Off for
+    # species that do not track work (ions: the Boris push leaves it
+    # untouched, so reading+writing the column back is pure HBM waste).
+    work_out: bool = True
 
 
 #: scalar literals fed to jnp.* ufuncs inside kernel code MUST be f32:
@@ -164,15 +177,33 @@ def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
             Bx * fitf, By * fitf, Bz * fitf)
 
 
-def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
-            ux_ref, uy_ref, uz_ref, g_ref, q_ref, work_ref,
-            eb_ref,
-            ncell_ref, nx_ref, npx_ref, ny_ref, nz_ref, nux_ref, nuy_ref,
-            nuz_ref, ng_ref, nwork_ref, ngh_ref, nchi_ref, miss_ref,
-            amin_ref, out_ref):
+def _out_names(spec: FusedSpec):
+    """Kernel output legs in positional order, per the spec flags."""
+    names = ["ncell", "nx"]
+    if not spec.lite:
+        names.append("npx")
+    names += ["ny", "nz", "nux", "nuy", "nuz", "ng"]
+    if spec.work_out:
+        names.append("nwork")
+    if not spec.lite:
+        names += ["ngh", "nchi"]
+    names += ["miss", "amin", "out"]
+    return names
+
+
+def _kernel(spec: FusedSpec, c0_ref, *refs):
     W = spec.window
     dt, dx = spec.dt, spec.dx
     C = const.SPEED_OF_LIGHT
+
+    # positional refs vary with the spec flags — unpack by name
+    in_names = ["cell", "x", "y", "z", "ux", "uy", "uz", "g", "q"]
+    if spec.work_out:
+        in_names.append("work")
+    in_names.append("eb")
+    out_names = _out_names(spec)
+    r = dict(zip(in_names + out_names, refs))
+    eb_ref, out_ref, amin_ref = r["eb"], r["out"], r["amin"]
 
     b = pl.program_id(0)
     base = c0_ref[b]
@@ -181,13 +212,13 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     def _():
         out_ref[...] = jnp.zeros((spec.n_rows, 16), F32)
 
-    cell = cell_ref[...] + spec.row_off   # field-table row index
+    cell = r["cell"][...] + spec.row_off  # field-table row index
     rel = cell - base
     relf = rel.astype(F32)
-    x = x_ref[...]
-    ux, uy, uz = ux_ref[...], uy_ref[...], uz_ref[...]
-    g = g_ref[...]
-    q = q_ref[...] * F32(spec.charge)     # macrocharge from the weight
+    x = r["x"][...]
+    ux, uy, uz = r["ux"][...], r["uy"][...], r["uz"][...]
+    g = r["g"][...]
+    q = r["q"][...] * F32(spec.charge)    # macrocharge from the weight
 
     fit = (rel >= 3) & (rel <= W - 4)
     miss = (q != 0.0) & ~fit
@@ -199,8 +230,10 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
         spec, eb_ref, base, rel, relf, x, fitf
     )
 
+    work_in = r["work"][...] if spec.work_out else None
     (unx, uny, unz, gn, gh, chi, work, vty, vtz) = _push_core(
-        spec, ux, uy, uz, g, work_ref[...], Ex, Ey, Ez, Bx, By, Bz
+        spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz,
+        lite=spec.lite,
     )
 
     prev = x
@@ -213,22 +246,26 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
     xn = xn - fl
     prevn = prev - fl
 
-    ncell_ref[...] = jnp.where(upd, celln, cell) - spec.row_off
-    nx_ref[...] = jnp.where(upd, xn, x)
-    npx_ref[...] = jnp.where(upd, prevn, x)
-    ny_ref[...] = jnp.where(upd, y_ref[...] + vty * dt, y_ref[...])
-    nz_ref[...] = jnp.where(upd, z_ref[...] + vtz * dt, z_ref[...])
-    nux_ref[...] = jnp.where(upd, unx, ux)
-    nuy_ref[...] = jnp.where(upd, uny, uy)
-    nuz_ref[...] = jnp.where(upd, unz, uz)
-    ng_ref[...] = jnp.where(upd, gn, g)
-    nwork_ref[...] = jnp.where(upd, work, work_ref[...])
-    # chi and gamma_half feed the OUT-OF-KERNEL optical-depth update
-    # (qed.emission.rate): rate(chi=0) = 0, so zeroed non-updated rows
-    # are naturally inert there
-    ngh_ref[...] = jnp.where(upd, gh, _ONE)
-    nchi_ref[...] = jnp.where(upd, chi, _ZERO)
-    miss_ref[...] = miss.astype(F32)
+    r["ncell"][...] = jnp.where(upd, celln, cell) - spec.row_off
+    r["nx"][...] = jnp.where(upd, xn, x)
+    r["ny"][...] = jnp.where(upd, r["y"][...] + vty * dt, r["y"][...])
+    r["nz"][...] = jnp.where(upd, r["z"][...] + vtz * dt, r["z"][...])
+    r["nux"][...] = jnp.where(upd, unx, ux)
+    r["nuy"][...] = jnp.where(upd, uny, uy)
+    r["nuz"][...] = jnp.where(upd, unz, uz)
+    r["ng"][...] = jnp.where(upd, gn, g)
+    if not spec.lite:
+        r["npx"][...] = jnp.where(upd, prevn, x)
+        # chi and gamma_half feed the OUT-OF-KERNEL optical-depth
+        # update (qed.emission.rate): rate(chi=0) = 0, so zeroed
+        # non-updated rows are naturally inert there
+        r["ngh"][...] = jnp.where(upd, gh, _ONE)
+        r["nchi"][...] = jnp.where(upd, chi, _ZERO)
+    if spec.work_out:
+        r["nwork"][...] = (
+            jnp.where(upd, work, work_in) if work is not None else work_in
+        )
+    r["miss"][...] = miss.astype(F32)
     # exact per-block minimum of the post-push cell rows (fit rows
     # only, so stray arrivals cannot drag a block's window away from
     # its bulk); feeds the NEXT step's window base — cells move <= 1
@@ -247,11 +284,13 @@ def _kernel(spec: FusedSpec, c0_ref, cell_ref, x_ref, y_ref, z_ref,
 
 
 def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
-               Ex, Ey, Ez, Bx, By, Bz):
+               Ex, Ey, Ez, Bx, By, Bz, *, lite=False):
     """The momentum update shared by both kernel layouts.  Returns
     (unx, uny, unz, gn, gh, chi, work, vty, vtz) — new momentum, new
     gamma, half-step gamma, quantum parameter, accumulated work, and
-    the transverse velocities that advance y/z."""
+    the transverse velocities that advance y/z.  With ``lite`` the
+    gh/chi/work legs are skipped (returned as None) — see
+    FusedSpec.lite."""
     dt = spec.dt
     C = const.SPEED_OF_LIGHT
     alpha = spec.charge * dt / (2.0 * spec.mass * C)
@@ -261,19 +300,22 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
         uhx = ux + alpha * (Ex + (vy * Bz - vz * By))
         uhy = uy + alpha * (Ey + (vz * Bx - vx * Bz))
         uhz = uz + alpha * (Ez + (vx * By - vy * Bx))
-        gh = jnp.sqrt(1.0 + uhx * uhx + uhy * uhy + uhz * uhz)
-        work = work_in + spec.charge * C * (
-            uhx * Ex + uhy * Ey + uhz * Ez
-        ) * dt / gh
-
-        # chi from F.u at the half step
-        fx = gh * Ex + C * (uhy * Bz - uhz * By)
-        fy = gh * Ey + C * (uhz * Bx - uhx * Bz)
-        fz = gh * Ez + C * (uhx * By - uhy * Bx)
-        eu = Ex * uhx + Ey * uhy + Ez * uhz
-        chi = jnp.sqrt(
-            jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, _ZERO)
-        ) / const.CRITICAL_FIELD
+        gh = work = chi = None
+        if (not lite) or work_in is not None:
+            gh = jnp.sqrt(1.0 + uhx * uhx + uhy * uhy + uhz * uhz)
+        if work_in is not None:
+            work = work_in + spec.charge * C * (
+                uhx * Ex + uhy * Ey + uhz * Ez
+            ) * dt / gh
+        if not lite:
+            # chi from F.u at the half step
+            fx = gh * Ex + C * (uhy * Bz - uhz * By)
+            fy = gh * Ey + C * (uhz * Bx - uhx * Bz)
+            fz = gh * Ez + C * (uhx * By - uhy * Bx)
+            eu = Ex * uhx + Ey * uhy + Ez * uhz
+            chi = jnp.sqrt(
+                jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, _ZERO)
+            ) / const.CRITICAL_FIELD
 
         upx = uhx + alpha * Ex
         upy = uhy + alpha * Ey
@@ -318,9 +360,12 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
         unz = uplz + alpha * Ez
         un2 = unx * unx + uny * uny + unz * unz
         gn = 1.0 + un2 / (1.0 + jnp.sqrt(1.0 + un2))
-        chi = jnp.zeros_like(ux)  # ions discard chi (sim parity)
-        gh = gam
-        work = work_in
+        if lite:
+            chi = gh = work = None
+        else:
+            chi = jnp.zeros_like(ux)  # ions discard chi (sim parity)
+            gh = gam
+            work = work_in
         # transverse positions advance with the NEW velocity
         # (ion.rs:208-209)
         vty, vtz = C * uny / gn, C * unz / gn
@@ -376,11 +421,12 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     [3, W-4] for sorted particles), and the (n_rows, 8) field table.
 
     Returns ``(cols, miss, out_slab, anchors_next)`` where cols is a
-    dict of updated columns, ``miss`` a f32 0/1 mask of
-    alive-but-out-of-window rows, ``out_slab`` the (n_rows, 16)
-    unshifted deposit accumulator, and ``anchors_next`` the exact
-    per-block window bases for the next step (post-push fit-row cell
-    minima minus CFL slack, clipped to the table).
+    dict of updated columns (column set per the spec's lite/work_out
+    flags), ``miss`` a f32 0/1 mask of alive-but-out-of-window rows,
+    ``out_slab`` the (n_rows, 16) unshifted deposit accumulator, and
+    ``anchors_next`` the exact per-block window bases for the next
+    step (post-push fit-row cell minima minus CFL slack, clipped to
+    the table).
     """
     n = cell.shape[0]
     RB = spec.block // 128
@@ -390,46 +436,54 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         (RB, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
     )
     shape2 = (n // 128, 128)
-    out_shapes = (
-        [jax.ShapeDtypeStruct(shape2, jnp.int32)]
-        + [jax.ShapeDtypeStruct(shape2, F32) for _ in range(12)]
-        + [jax.ShapeDtypeStruct((nblk, 128), jnp.int32)]
-        + [jax.ShapeDtypeStruct((spec.n_rows, 16), F32)]
-    )
-    out_specs = (
-        [pspec() for _ in range(13)]
-        # full-array VMEM ref, one broadcast row per program: Mosaic
-        # rejects sub-(8,128) blocked outputs, and SMEM pads rows to
-        # 512 B (a (nblk, 1) SMEM output overflows the 1 MB SMEM)
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    )
+    onames = _out_names(spec)
+    shape_of = {
+        "ncell": jax.ShapeDtypeStruct(shape2, jnp.int32),
+        "amin": jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
+        "out": jax.ShapeDtypeStruct((spec.n_rows, 16), F32),
+    }
+    out_shapes = [
+        shape_of.get(nm, jax.ShapeDtypeStruct(shape2, F32))
+        for nm in onames
+    ]
+    out_specs = [
+        # amin/out: full-array VMEM refs, one broadcast row per
+        # program: Mosaic rejects sub-(8,128) blocked outputs, and
+        # SMEM pads rows to 512 B (a (nblk, 1) SMEM output overflows
+        # the 1 MB SMEM)
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+        if nm in ("amin", "out") else pspec()
+        for nm in onames
+    ]
+    ins = [
+        as2d(cell, jnp.int32), as2d(x), as2d(y), as2d(z), as2d(ux),
+        as2d(uy), as2d(uz), as2d(gamma), as2d(weight),
+    ]
+    if spec.work_out:
+        ins.append(as2d(work))
+    ins.append(eb_rows)
     outs = pl.pallas_call(
         functools.partial(_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
-            in_specs=[pspec() for _ in range(10)]
+            in_specs=[pspec() for _ in range(len(ins) - 1)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(
-        anchors.astype(jnp.int32),
-        as2d(cell, jnp.int32), as2d(x), as2d(y), as2d(z), as2d(ux),
-        as2d(uy), as2d(uz), as2d(gamma), as2d(weight), as2d(work),
-        eb_rows,
+    )(anchors.astype(jnp.int32), *ins)
+    o = dict(zip(onames, outs))
+    col_of = dict(
+        ncell="cell", nx="x", npx="prev_x", ny="y", nz="z", nux="ux",
+        nuy="uy", nuz="uz", ng="gamma", nwork="work", ngh="gh",
+        nchi="chi",
     )
-    (ncell, nx, npx, ny, nz, nux, nuy, nuz, ng, nwork, ngh, nchi, miss,
-     amin, out_slab) = outs
-    cols = dict(
-        cell=ncell.reshape(n), x=nx.reshape(n), prev_x=npx.reshape(n),
-        y=ny.reshape(n), z=nz.reshape(n),
-        ux=nux.reshape(n), uy=nuy.reshape(n), uz=nuz.reshape(n),
-        gamma=ng.reshape(n), work=nwork.reshape(n), gh=ngh.reshape(n),
-        chi=nchi.reshape(n),
-    )
+    cols = {
+        col_of[nm]: o[nm].reshape(n) for nm in onames if nm in col_of
+    }
+    miss, amin, out_slab = o["miss"], o["amin"], o["out"]
     anchors_next = jnp.clip(
         amin[:, 0] - 4, 2, spec.n_rows - spec.window - 2
     ).astype(jnp.int32)

@@ -177,6 +177,24 @@ def boris_push(cell, x, y, z, u, charge, mass, E, B, dx, dt):
     return cell, x_new, prev_x, y_new, z_new, u_new, gamma_m1, chi
 
 
+def electron_chi(ux, uy, uz, gamma, E, B):
+    """Instantaneous electron quantum parameter from the local fields:
+    chi = |F.u| / (m c E_crit) with F the EM field tensor — the same
+    invariant the Vay push evaluates at the half step
+    (``electron.rs:283-285``), here from the full-step momentum.  Used
+    to refresh the (stale) chi diagnostic of lite fused runs at output
+    time; agrees with the per-step value to O(dt)."""
+    c = const.SPEED_OF_LIGHT
+    fx = gamma * E[:, 0] + c * (uy * B[:, 2] - uz * B[:, 1])
+    fy = gamma * E[:, 1] + c * (uz * B[:, 0] - ux * B[:, 2])
+    fz = gamma * E[:, 2] + c * (ux * B[:, 1] - uy * B[:, 0])
+    eu = E[:, 0] * ux + E[:, 1] * uy + E[:, 2] * uz
+    return (
+        jnp.sqrt(jnp.maximum(fx * fx + fy * fy + fz * fz - eu * eu, 0.0))
+        / const.CRITICAL_FIELD
+    )
+
+
 def photon_chi(k, E, B):
     """Instantaneous photon quantum parameter from the local fields
     (``photon.rs:165-176``).  ``k`` in units of m_e c."""

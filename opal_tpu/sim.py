@@ -139,6 +139,13 @@ class SimOptions:
     # automatically for QED runs (the per-step interaction passes are
     # column-oriented).
     packed_fused: bool = False
+    # lite fused kernel (FusedSpec.lite): skip the chi/gamma-half/
+    # prev_x outputs and their compute where nothing consumes them
+    # (ions always; electrons on non-QED decks — chi is then refreshed
+    # lazily at output time).  -1 = auto, 0 = off (full outputs; also
+    # restores bitwise parity with the packed layout, whose kernel
+    # always computes the full set).
+    fused_lite: int = -1
     # resort cadence R: a LOCAL payload re-sort (migrate.sort_state)
     # opens every R-step period as a statically scheduled phase (no
     # per-step cond); between sorts the kernel re-anchors each block
@@ -377,6 +384,7 @@ class Simulation:
 
         opt, geom = self.options, self.geom
         spec = self.specs[name]
+        qed_on = opt.photon_emission or opt.photon_absorption
         return F.FusedSpec(
             block=opt.fused_block, window=opt.fused_window,
             n_rows=geom.n_loc + 2 * HALO + 2 * F.PAD,
@@ -385,6 +393,16 @@ class Simulation:
             pusher="vay" if spec.kind == "electron" else "boris",
             row_off=HALO + F.PAD,
             dep_skip=not opt.current_deposition,
+            # chi/gh feed the QED passes (electrons only); prev_x is
+            # read back only by the QED event log.  Ions never need
+            # them; electrons only on QED decks.  Stale electron chi is
+            # refreshed lazily at output time (refresh_electron_chi).
+            lite=(
+                (spec.kind != "electron" or not qed_on)
+                and opt.fused_lite != 0
+            ),
+            # only electrons carry the work integral (species.py)
+            work_out=spec.kind == "electron",
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
@@ -408,7 +426,6 @@ class Simulation:
         spec = self.specs[name]
         fspec = self._fused_spec(name)
         eb = F.make_eb_rows(E_slab, B_slab)
-        zero = jnp.zeros_like(st.x)
         # the kernel forms the macrocharge (weight * charge) and the
         # table-row shift itself — dead rows carry weight 0 (invariant
         # of initialization, migration retire and sort placeholders),
@@ -416,7 +433,7 @@ class Simulation:
         cols, miss, out_slab, anchors_next = F.fused_push_deposit(
             fspec, anchors, st.cell, st.x, st.y, st.z,
             st.ux, st.uy, st.uz, st.gamma, st.weight,
-            st.work if st.work is not None else zero, eb,
+            st.work if fspec.work_out else None, eb,
             interpret=self._interpret,
         )
         J_add, rho_add = F.fold_out_slab(out_slab)
@@ -444,13 +461,19 @@ class Simulation:
 
         upd = dict(
             cell=cols["cell"].astype(st.cell.dtype),
-            x=cols["x"], prev_x=cols["prev_x"], y=cols["y"], z=cols["z"],
+            x=cols["x"], y=cols["y"], z=cols["z"],
             ux=cols["ux"], uy=cols["uy"], uz=cols["uz"],
-            gamma=cols["gamma"], chi=cols["chi"],
+            gamma=cols["gamma"],
         )
+        if not fspec.lite:
+            # lite kernels skip these outputs: prev_x/chi ride the
+            # carry unchanged (prev_x is consumed by nothing between
+            # steps; stale chi is refreshed at output time)
+            upd["prev_x"] = cols["prev_x"]
+            upd["chi"] = cols["chi"]
         if st.tau is not None:
             upd["tau"] = tau_new
-        if st.work is not None:
+        if st.work is not None and fspec.work_out:
             upd["work"] = cols["work"]
 
         # fallback: compact misfits, run the unfused ops on the (small)
@@ -1286,6 +1309,54 @@ class Simulation:
         """Global kinetic energy of a species in joules
         (``mod.rs:227-240``)."""
         return float(jnp.sum(kinetic_energy_weights(self.specs[name], state)))
+
+    @property
+    def electron_chi_is_lazy(self) -> bool:
+        """True when the stepping path may leave electron chi stale:
+        the lite fused kernel (non-QED decks) skips the per-step chi
+        diagnostic; callers refresh it before outputs/checkpoints."""
+        return (
+            self.options.fused_pusher
+            and self.options.fused_lite != 0
+            and not (
+                self.options.photon_emission
+                or self.options.photon_absorption
+            )
+        )
+
+    def refresh_electron_chi(self, E, B, st: ParticleState) -> ParticleState:
+        """Recompute electron chi from the current momenta and fields.
+
+        The lite fused kernel (FusedSpec.lite — non-QED decks) skips
+        the per-step chi output: chi is then a pure diagnostic
+        (histogram axis), so the CLI refreshes it once per output
+        instead of once per step.  The refreshed value is the
+        instantaneous invariant at the full step — equal to the
+        reference's stored half-step value to O(dt)."""
+        from .ops.pusher import electron_chi
+
+        geom, opt = self.geom, self.options
+
+        def device_fn(E, B, cell, x, ux, uy, uz, gamma):
+            if opt.replicate_fields:
+                E_slab, B_slab = halo.exchange_fields_local(E, B, geom)
+            else:
+                ai = lax.axis_index("x")
+                E_slab, B_slab = halo.exchange_fields(E, B, geom, "x", ai)
+            Ep, Bp = fields_at(E_slab, B_slab, cell + HALO, x)
+            return electron_chi(
+                ux, uy, uz, gamma, Ep.astype(x.dtype), Bp.astype(x.dtype)
+            )
+
+        f3 = P(None, None) if opt.replicate_fields else P("x", None)
+        chi = jax.jit(
+            jax.shard_map(
+                device_fn, mesh=self.mesh, check_vma=False,
+                in_specs=(f3, f3) + (P("x"),) * 6,
+                out_specs=P("x"),
+            )
+        )(E, B, st.cell, st.x, st.ux, st.uy, st.uz, st.gamma)
+        return dataclasses.replace(st, chi=chi)
 
     def refresh_photon_chi(self, E, B, st: ParticleState) -> ParticleState:
         """Recompute photon chi from the current positions and fields.

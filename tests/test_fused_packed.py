@@ -165,6 +165,10 @@ def _mini_sim(packed: bool, nsteps: int = 8, npc: int = 1):
         fused_resort_every=4, fused_misfit_capacity=128,
         migration_every=3, migration_window=512, migration_capacity=64,
         packed_fused=packed,
+        # the packed kernel always computes the full output set; bitwise
+        # parity with the column kernel needs lite off (the lite work
+        # chain re-associates by 1 ULP)
+        fused_lite=0,
     )
     espec = SpeciesSpec.electron()
     sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
