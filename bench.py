@@ -133,6 +133,14 @@ def main(argv=None):
     # default cadence (the schedule opens every run with one): shorter
     # blocks under-amortize the per-run sort
     parser.add_argument("--steps", type=int, default=250)
+    # the tunnel-attached device kills any single program that runs
+    # ~30+ s wall (BASELINE.md 2026-08-19 bisect); QED steps are slow
+    # enough that a 250-step program can trip it, so the timed block
+    # runs as a loop of bounded-step programs (one executable, reused)
+    parser.add_argument("--steps-per-program", type=int, default=-1,
+                        help="max simulation steps per compiled program "
+                             "(-1 = auto: 50 for --qed, else single "
+                             "program; the timed block loops chunks)")
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--deposition", action="store_true", default=True)
@@ -155,6 +163,10 @@ def main(argv=None):
                         default=False, help="bench A/B: packed hot-matrix "
                         "layout instead of the column-per-array kernel")
     parser.add_argument("--no-packed", dest="packed", action="store_false")
+    parser.add_argument("--no-lite", dest="lite", action="store_false",
+                        default=True, help="bench A/B: full fused-kernel "
+                        "output set (chi/gamma-half/prev_x legs) instead "
+                        "of the lite non-QED fast path")
     parser.add_argument("--fused-window", type=int, default=0,
                         help="window cells per block (0 = auto: block "
                              "cell span + dispersion slack; the kernel "
@@ -297,6 +309,7 @@ def main(argv=None):
         sorted_pipeline=args.sorted_pipeline,
         fused_pusher=args.fused,
         packed_fused=args.packed,
+        fused_lite=-1 if args.lite else 0,
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus
         # dispersion slack — NOT the old + 2*(resort-1) drift term
@@ -370,17 +383,36 @@ def main(argv=None):
     counters = sim.zero_counters()
     key = jax.random.key(0)
 
-    # warmup / compile — same nsteps as the timed block so the single
-    # cached executable is reused (nsteps is a static argument).  Two
-    # warmup calls: the second proves the carried-over state hits the
-    # same executable (a sharding mismatch would silently recompile
-    # inside the timed block).
+    if args.steps_per_program < 0:
+        args.steps_per_program = 50 if args.qed else 0
+    spp = args.steps_per_program or args.steps
+    spp = min(spp, args.steps)
+
+    def run_block(E, B, J, rho, species, t, counters, nsteps):
+        # one executable (nsteps=spp) reused across the chunk loop; a
+        # possible short tail chunk compiles a second shape once.  The
+        # key splits per chunk (same scheme as the CLI's run_span)
+        done, k = 0, key
+        while done < nsteps:
+            n = min(spp, nsteps - done)
+            k, sub = jax.random.split(k)
+            out = sim.run(E, B, J, rho, species, float(t), sub,
+                          counters, n)
+            E, B, J, rho, species, t, counters = out
+            done += n
+        return out
+
+    # warmup / compile — same program shape(s) as the timed block so
+    # the cached executable(s) are reused.  Two warmup calls: the
+    # second proves the carried-over state hits the same executable (a
+    # sharding mismatch would silently recompile inside the timed
+    # block).
     t0 = time.monotonic()
-    out = sim.run(E, B, J, rho, species, 0.0, key, counters, args.steps)
+    out = run_block(E, B, J, rho, species, 0.0, counters, args.steps)
     jax.block_until_ready(out)
     compile_s = time.monotonic() - t0
     E, B, J, rho, species, t, counters = out
-    out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
+    out = run_block(E, B, J, rho, species, float(t), counters, args.steps)
     jax.block_until_ready(out)
     E, B, J, rho, species, t, counters = out
 
@@ -394,12 +426,13 @@ def main(argv=None):
     t0 = time.monotonic()
     if args.profile:
         with jax.profiler.trace(args.profile):
-            out = sim.run(
-                E, B, J, rho, species, float(t), key, counters, args.steps
+            out = run_block(
+                E, B, J, rho, species, float(t), counters, args.steps
             )
             jax.block_until_ready(out)
     else:
-        out = sim.run(E, B, J, rho, species, float(t), key, counters, args.steps)
+        out = run_block(E, B, J, rho, species, float(t), counters,
+                        args.steps)
         jax.block_until_ready(out)
     elapsed = time.monotonic() - t0
 

@@ -46,10 +46,18 @@ def build(args, **opt_overrides):
     dx = 500.0
     dt = 0.95 * dx / const.SPEED_OF_LIGHT
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
+    # mirror bench.py's non-QED defaults (2026-08-19 v5e sweep) so the
+    # ladder attributes the SAME program the bench measures
+    resort = 256
     opts = SimOptions(
         dt=dt, migration_capacity=512, fused_pusher=True,
-        fused_window=16, fused_block=2048, fused_resort_every=64,
-        migration_every=3, **opt_overrides,
+        fused_window=-(-(4096 // max(1, npc) + 16) // 8) * 8,
+        fused_block=4096, fused_resort_every=resort,
+        migration_every=3, fused_misfit_capacity=512,
+        migration_window=max(
+            4096, -(-int(npc * (0.0095 * resort + 3)) // 8) * 8
+        ),
+        **opt_overrides,
     )
     espec = SpeciesSpec.electron()
     sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
