@@ -98,3 +98,33 @@ def test_lazy_chi_refresh_matches_full_kernel():
         chi[alive], chi_ref[alive], rtol=5e-3, err_msg="chi"
     )
     assert (chi[alive] > 0).all()
+
+
+def test_lite_auto_selection_wiring():
+    """QED decks must keep the FULL kernel for electrons (chi/gh feed
+    the optical-depth update) while ions stay lite; fused_lite=0 turns
+    lite off everywhere."""
+    geom = GridGeometry(nx=128, dx=500.0, xmin=0.0, n_devices=4)
+    dt = 0.95 * 500.0 / const.SPEED_OF_LIGHT
+
+    def mk(**kw):
+        opts = SimOptions(dt=dt, fused_pusher=True, fused_block=128,
+                          fused_window=40, **kw)
+        specs = {"electron": SpeciesSpec.electron(),
+                 "ion": SpeciesSpec.ion("proton", 1.0, 1.0)}
+        return Simulation(geom, opts, specs, dtype=jnp.float32)
+
+    sim = mk()  # non-QED
+    assert sim._fused_spec("electron").lite
+    assert sim._fused_spec("electron").work_out
+    assert sim._fused_spec("ion").lite
+    assert not sim._fused_spec("ion").work_out
+
+    sim = mk(photon_emission=True)
+    assert not sim._fused_spec("electron").lite
+    assert sim._fused_spec("ion").lite
+
+    sim = mk(fused_lite=0)
+    assert not sim._fused_spec("electron").lite
+    assert not sim._fused_spec("ion").lite
+    assert not sim._fused_spec("ion").work_out

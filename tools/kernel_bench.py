@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--block", type=int, default=2048)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--dep-skip", action="store_true")
+    p.add_argument("--lite", action="store_true",
+                   help="FusedSpec.lite: skip the chi/gamma-half/prev_x "
+                        "output legs (the non-QED default path)")
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +52,7 @@ def main(argv=None):
     spec = F.FusedSpec(
         block=args.block, window=args.window, n_rows=n_rows, dx=dx, dt=dt,
         charge=const.ELECTRON_CHARGE, mass=const.ELECTRON_MASS,
-        dep_skip=args.dep_skip, row_off=HALO + F.PAD,
+        dep_skip=args.dep_skip, row_off=HALO + F.PAD, lite=args.lite,
     )
 
     rng = np.random.default_rng(0)
@@ -71,6 +74,7 @@ def main(argv=None):
         cols, miss, out_slab, anch2 = F.fused_push_deposit(
             spec, anch, rows, x, jnp.zeros_like(x), jnp.zeros_like(x),
             ux, uy, uz, g, q, work, eb,
+            interpret=jax.default_backend() == "cpu",
         )
         # feed positions/momenta back but RESET rows/anchors so the
         # state never drifts out of window over the scan
