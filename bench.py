@@ -163,6 +163,10 @@ def main(argv=None):
                         default=False, help="bench A/B: packed hot-matrix "
                         "layout instead of the column-per-array kernel")
     parser.add_argument("--no-packed", dest="packed", action="store_false")
+    parser.add_argument("--mxu-gather", action="store_true", default=False,
+                        help="bench A/B: field gather as a one-hot MXU "
+                        "contraction instead of the W-cell select-sum "
+                        "loop")
     parser.add_argument("--no-lite", dest="lite", action="store_false",
                         default=True, help="bench A/B: full fused-kernel "
                         "output set (chi/gamma-half/prev_x legs) instead "
@@ -310,6 +314,7 @@ def main(argv=None):
         fused_pusher=args.fused,
         packed_fused=args.packed,
         fused_lite=-1 if args.lite else 0,
+        mxu_gather=args.mxu_gather,
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus
         # dispersion slack — NOT the old + 2*(resort-1) drift term

@@ -109,6 +109,13 @@ class FusedSpec(NamedTuple):
     # species that do not track work (ions: the Boris push leaves it
     # untouched, so reading+writing the column back is pure HBM waste).
     work_out: bool = True
+    # field gather via one-hot MXU matmul instead of the W-cell
+    # select-sum loop: the b-spline has only 4 live taps (rel-1 ..
+    # rel+2), so one (block x (W+4)) one-hot contracted against four
+    # k-shifted copies of the window fetches exactly those taps on the
+    # MXU, and the VPU only evaluates the 8 tap weights + 20 FMAs —
+    # W-INDEPENDENT, vs ~22*W ops/particle for the loop.
+    mxu_gather: bool = False
 
 
 #: scalar literals fed to jnp.* ufuncs inside kernel code MUST be f32:
@@ -177,6 +184,52 @@ def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
             Bx * fitf, By * fitf, Bz * fitf)
 
 
+def _gather_fields_mxu(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
+    """Staggered b-spline gather as one one-hot MXU contraction.
+
+    The spline support is 4 cells (offsets -1..+2 of ``rel``), so the
+    W-cell select-sum loop wastes ~22*W VPU ops/particle on taps that
+    are zero.  Here a (block, W) one-hot of ``rel`` is contracted once
+    against four k-shifted copies of the window (concatenated to
+    (W, 32)), landing exactly the 4 live rows x 8 field columns per
+    particle in the MXU; the VPU then evaluates only the 8 tap weights
+    and ~20 FMAs — independent of W.
+
+    Bounds: fit rows have rel in [3, W-4], so the one-hot lane j = rel
+    is in range; the k-shifted slices span rows [base-1, base+W+2),
+    inside the table for any anchor in block_anchors' clip range
+    [2, n_rows-W-2].  Non-fit rows either miss the one-hot entirely
+    (G = 0) or are zeroed by ``fitf`` like the loop path."""
+    W = spec.window
+    RB = spec.block // 128
+    j_iota = lax.broadcasted_iota(jnp.int32, (RB, W, 128), 1)
+    O1 = (rel[:, None, :] == j_iota).astype(F32)
+    # Wcat[j, 8k+c] = eb[base + (k-1) + j, c]  ->  G[p, 8k+c] =
+    # eb[base + rel + (k-1), c], tap offsets k-1 in {-1, 0, 1, 2}
+    Wcat = jnp.concatenate(
+        [eb_ref[pl.ds(base + k - 1, W), :] for k in range(4)], axis=1
+    )
+    G = lax.dot_general(
+        O1, Wcat, (((1,), (0,)), ((), ())), preferred_element_type=F32
+    )  # (RB, 128, 32): per particle the 4 tap rows x 8 field columns
+    # tap weights: edge taps at d - wdx, centred at d - wdx - 0.5 for
+    # wdx = rel + (k-1); computed EXACTLY like the loop path (d first,
+    # then subtract the integer tap index, both f32) so the two gather
+    # paths agree bitwise.  _w2's 1.5-cell support covers these 4 taps.
+    d = relf + x
+    we = [_w2(d - (relf + np.float32(k - 1))) for k in range(4)]
+    wc = [_w2(d - (relf + np.float32(k - 1)) - 0.5) for k in range(4)]
+    g = lambda k, c: G[:, :, 8 * k + c]
+    Ex = sum(wc[k] * g(k, 0) for k in range(4))
+    Ey = sum(we[k] * g(k, 1) for k in range(4))
+    Ez = sum(we[k] * g(k, 2) for k in range(4))
+    Bx = g(1, 3)  # nearest-cell select: tap offset 0 is slice k=1
+    By = sum(wc[k] * g(k, 4) for k in range(4))
+    Bz = sum(wc[k] * g(k, 5) for k in range(4))
+    return (Ex * fitf, Ey * fitf, Ez * fitf,
+            Bx * fitf, By * fitf, Bz * fitf)
+
+
 def _out_names(spec: FusedSpec):
     """Kernel output legs in positional order, per the spec flags."""
     names = ["ncell", "nx"]
@@ -224,9 +277,10 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
     miss = (q != 0.0) & ~fit
     upd = fit & (q != 0.0)
 
-    # ---- field gather: select-sum over the W-cell window ------------
+    # ---- field gather: select-sum loop or one-hot MXU contraction ---
     fitf = fit.astype(F32)
-    Ex, Ey, Ez, Bx, By, Bz = _gather_fields(
+    _gather = _gather_fields_mxu if spec.mxu_gather else _gather_fields
+    Ex, Ey, Ez, Bx, By, Bz = _gather(
         spec, eb_ref, base, rel, relf, x, fitf
     )
 

@@ -139,6 +139,9 @@ class SimOptions:
     # automatically for QED runs (the per-step interaction passes are
     # column-oriented).
     packed_fused: bool = False
+    # field gather via one-hot MXU contraction instead of the W-cell
+    # select-sum loop (FusedSpec.mxu_gather) — A/B knob
+    mxu_gather: bool = False
     # lite fused kernel (FusedSpec.lite): skip the chi/gamma-half/
     # prev_x outputs and their compute where nothing consumes them
     # (ions always; electrons on non-QED decks — chi is then refreshed
@@ -403,6 +406,7 @@ class Simulation:
             ),
             # only electrons carry the work integral (species.py)
             work_out=spec.kind == "electron",
+            mxu_gather=opt.mxu_gather,
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):
