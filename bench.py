@@ -219,8 +219,19 @@ def main(argv=None):
                              "buffer)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the timed block")
+    parser.add_argument("--aot", action="store_true",
+                        help="no-chip mode: AOT-compile this exact bench "
+                             "program for a v5e:1x1x1 topology on the CPU "
+                             "host (full Mosaic pipeline — catches kernel "
+                             "legalization failures and scoped-VMEM OOMs "
+                             "before any chip time) and exit")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.aot:
+        os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+        os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
 
@@ -247,7 +258,8 @@ def main(argv=None):
     except Exception:
         pass
 
-    _probe_backend()
+    if not args.aot:
+        _probe_backend()
     import jax.numpy as jnp
 
     from opal_tpu import constants as const
@@ -392,6 +404,46 @@ def main(argv=None):
         args.steps_per_program = 50 if args.qed else 0
     spp = args.steps_per_program or args.steps
     spp = min(spp, args.steps)
+
+    if args.aot:
+        from jax.experimental import topologies
+        from jax.sharding import SingleDeviceSharding
+
+        from opal_tpu.fields import make_mesh
+
+        if ndev != 1:
+            _emit_error("--aot supports a single-chip topology only")
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:1x1x1",
+            chips_per_host_bounds=(1, 1, 1),
+        )
+        sim_aot = Simulation(
+            geom, opts, specs, mesh=make_mesh(1, devices=topo.devices),
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+        )
+        sim_aot._interpret = False
+        sh = SingleDeviceSharding(topo.devices[0])
+        absify = lambda x: jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.asarray(x).dtype, sharding=sh
+        )
+        aargs = jax.tree.map(
+            absify, (E, B, J, rho, species, 0.0, key, counters)
+        )
+
+        def stepfn(E, B, J, rho, species, t0, key, counters):
+            return sim_aot.run(E, B, J, rho, species, t0, key, counters,
+                               spp)
+
+        t0 = time.monotonic()
+        jax.jit(stepfn).trace(*aargs).lower().compile()
+        print(json.dumps({
+            "metric": "aot-compile",
+            "value": round(time.monotonic() - t0, 1),
+            "unit": "s",
+            "vs_baseline": 1.0,
+            "config": " ".join(argv if argv is not None else sys.argv[1:]),
+        }))
+        return
 
     def run_block(E, B, J, rho, species, t, counters, nsteps):
         # one executable (nsteps=spp) reused across the chunk loop; a

@@ -128,7 +128,23 @@ _ZERO = np.float32(0.0)
 _ONE = np.float32(1.0)
 _IM1 = np.int32(-1)
 _IP1 = np.int32(1)
+#: also used in BlockSpec index maps: a literal ``0`` there becomes an
+#: i64 constant under jax_enable_x64 and Mosaic fails to legalize the
+#: transform function (2026-08-19 hardware compile failure on every
+#: default-precision CLI run)
 _IZ = np.int32(0)
+
+
+def _full_vmem(shape):
+    """Whole-array VMEM BlockSpec with an EXPLICIT i32-zero index map.
+
+    ``pl.BlockSpec(memory_space=pltpu.VMEM)`` makes JAX synthesize the
+    index map, whose zero constants are i64 under jax_enable_x64 —
+    Mosaic then fails to legalize the transform function exactly like
+    a user map returning a literal ``0`` (see ``_IZ``)."""
+    return pl.BlockSpec(
+        shape, lambda i, c: (_IZ,) * len(shape), memory_space=pltpu.VMEM
+    )
 
 
 def _w2(xh):
@@ -487,7 +503,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     nblk = n // spec.block
     as2d = lambda a, dtyp=F32: a.astype(dtyp).reshape(-1, 128)
     pspec = lambda: pl.BlockSpec(
-        (RB, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+        (RB, 128), lambda i, c: (i, _IZ), memory_space=pltpu.VMEM
     )
     shape2 = (n // 128, 128)
     onames = _out_names(spec)
@@ -505,7 +521,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         # program: Mosaic rejects sub-(8,128) blocked outputs, and
         # SMEM pads rows to 512 B (a (nblk, 1) SMEM output overflows
         # the 1 MB SMEM)
-        pl.BlockSpec(memory_space=pltpu.VMEM)
+        _full_vmem(shape_of[nm].shape)
         if nm in ("amin", "out") else pspec()
         for nm in onames
     ]
@@ -522,10 +538,16 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
             num_scalar_prefetch=1,
             grid=(nblk,),
             in_specs=[pspec() for _ in range(len(ins) - 1)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            + [_full_vmem(eb_rows.shape)],
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shapes),
+        # the QED step shapes (wide windows x deep grids) need ~17 MB
+        # of Mosaic scratch — just over the default 16 MB scoped-vmem
+        # cap (v5e has 128 MB; 64 MB leaves room for double buffering)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), *ins)
     o = dict(zip(onames, outs))
@@ -735,12 +757,14 @@ def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
         jax.ShapeDtypeStruct((spec.n_rows, 16), F32),
     )
     out_specs = (
-        pl.BlockSpec((1, len(H_COLS), RB, 128), lambda i, c: (i, 0, 0, 0),
+        pl.BlockSpec((1, len(H_COLS), RB, 128),
+                     lambda i, c: (i, _IZ, _IZ, _IZ),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, len(A_COLS), RB, 128), lambda i, c: (i, 0, 0, 0),
+        pl.BlockSpec((1, len(A_COLS), RB, 128),
+                     lambda i, c: (i, _IZ, _IZ, _IZ),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        _full_vmem((nblk, 128)),
+        _full_vmem((spec.n_rows, 16)),
     )
     H_new, A_new, amin, out_slab = pl.pallas_call(
         functools.partial(_kernel_packed, spec),
@@ -749,15 +773,18 @@ def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
             grid=(nblk,),
             in_specs=[
                 pl.BlockSpec((1, len(H_COLS), RB, 128),
-                             lambda i, c: (i, 0, 0, 0),
+                             lambda i, c: (i, _IZ, _IZ, _IZ),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, RB, 128), lambda i, c: (i, 0, 0),
+                pl.BlockSpec((1, RB, 128), lambda i, c: (i, _IZ, _IZ),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                _full_vmem(eb_rows.shape),
             ],
             out_specs=out_specs,
         ),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), H, weight, eb_rows)
     anchors_next = jnp.clip(
