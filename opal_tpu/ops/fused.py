@@ -301,13 +301,13 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
     )
 
     work_in = r["work"][...] if spec.work_out else None
-    (unx, uny, unz, gn, gh, chi, work, vty, vtz) = _push_core(
+    (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) = _push_core(
         spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz,
         lite=spec.lite,
     )
 
     prev = x
-    xn = x + C * unx * dt / (dx * gn)
+    xn = x + F32(C * dt / dx) * unx * ign
     fl = jnp.floor(xn)
     shift = jnp.where(
         fl < 0.0, _IM1, jnp.where(fl > 0.0, _IP1, _IZ)
@@ -350,23 +350,26 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
     if spec.dep_skip:
         return
     qd = jnp.where(upd, q, _ZERO)
-    _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
+    _deposit_block(spec, base, celln, xn, prevn, qd,
+                   F32(C) * uny * ign, F32(C) * unz * ign, out_ref)
 
 
 def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
                Ex, Ey, Ez, Bx, By, Bz, *, lite=False):
     """The momentum update shared by both kernel layouts.  Returns
-    (unx, uny, unz, gn, gh, chi, work, vty, vtz) — new momentum, new
-    gamma, half-step gamma, quantum parameter, accumulated work, and
-    the transverse velocities that advance y/z.  With ``lite`` the
-    gh/chi/work legs are skipped (returned as None) — see
-    FusedSpec.lite."""
+    (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) — new momentum,
+    new gamma and its reciprocal (divides are ~7x a VPU multiply, so
+    every 1/gamma consumer shares one), half-step gamma, quantum
+    parameter, accumulated work, and the transverse velocities that
+    advance y/z.  With ``lite`` the gh/chi/work legs are skipped
+    (returned as None) — see FusedSpec.lite."""
     dt = spec.dt
     C = const.SPEED_OF_LIGHT
     alpha = spec.charge * dt / (2.0 * spec.mass * C)
     if spec.pusher == "vay":
         # ---- Vay push (electron.rs:268-330) -------------------------
-        vx, vy, vz = C * ux / g, C * uy / g, C * uz / g
+        ig = 1.0 / g
+        vx, vy, vz = C * ux * ig, C * uy * ig, C * uz * ig
         uhx = ux + alpha * (Ex + (vy * Bz - vz * By))
         uhy = uy + alpha * (Ey + (vz * Bx - vx * Bz))
         uhz = uz + alpha * (Ez + (vx * By - vy * Bx))
@@ -398,7 +401,8 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
         gn = jnp.sqrt(
             0.5 * sig + jnp.sqrt(0.25 * sig * sig + t2 + ustar * ustar)
         )
-        itx, ity, itz = tvx / gn, tvy / gn, tvz / gn
+        ign = 1.0 / gn
+        itx, ity, itz = tvx * ign, tvy * ign, tvz * ign
         s = 1.0 / (1.0 + itx * itx + ity * ity + itz * itz)
         udt = upx * itx + upy * ity + upz * itz
         unx = s * (upx + udt * itx + (upy * itz - upz * ity))
@@ -430,6 +434,7 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
         unz = uplz + alpha * Ez
         un2 = unx * unx + uny * uny + unz * unz
         gn = 1.0 + un2 / (1.0 + jnp.sqrt(1.0 + un2))
+        ign = 1.0 / gn
         if lite:
             chi = gh = work = None
         else:
@@ -438,32 +443,36 @@ def _push_core(spec: FusedSpec, ux, uy, uz, g, work_in,
             work = work_in
         # transverse positions advance with the NEW velocity
         # (ion.rs:208-209)
-        vty, vtz = C * uny / gn, C * unz / gn
-    return unx, uny, unz, gn, gh, chi, work, vty, vtz
+        vty, vtz = C * uny * ign, C * unz * ign
+    return unx, uny, unz, gn, ign, gh, chi, work, vty, vtz
 
 
-def _deposit_block(spec: FusedSpec, base, celln, xn, prevn, qd, uny, unz,
-                   gn, out_ref):
+def _deposit_block(spec: FusedSpec, base, celln, xn, prevn, qd, vmy, vmz,
+                   out_ref):
     """One block's charge-conserving deposition (one-hot batched MXU
-    matmul over the window), accumulated into the (n_rows, 16) slab."""
+    matmul over the window), accumulated into the (n_rows, 16) slab.
+    ``vmy``/``vmz`` are the post-push transverse velocities (callers
+    form them from the shared 1/gamma).  The 1/dt and 1/dx factors are
+    folded into per-particle prefactors: 15 VPU divides/particle
+    otherwise (a divide costs ~7x a multiply)."""
     W = spec.window
-    dt, dx = spec.dt, spec.dx
-    C = const.SPEED_OF_LIGHT
-    vmy = C * uny / gn
-    vmz = C * unz / gn
+    qf = qd * F32(1.0 / spec.dt)
+    qx = qd * F32(1.0 / spec.dx)
+    qy = qx * vmy
+    qz = qx * vmz
     w_m1 = _w2(1.0 + xn)
     w_0 = _w2(xn)
     w_p1 = _w2(1.0 - xn)
     w_q = _w2(2.0 - xn)  # the reference's index-2 rho quirk
     vals = [
-        qd * _flux(-1.5 - prevn, -1.5 - xn) / dt,
-        qd * _flux(-0.5 - prevn, -0.5 - xn) / dt,
-        qd * _flux(0.5 - prevn, 0.5 - xn) / dt,
-        qd * _flux(1.5 - prevn, 1.5 - xn) / dt,
-        qd * _flux(2.5 - prevn, 2.5 - xn) / dt,
-        qd * vmy * w_m1 / dx, qd * vmy * w_0 / dx, qd * vmy * w_p1 / dx,
-        qd * vmz * w_m1 / dx, qd * vmz * w_0 / dx, qd * vmz * w_p1 / dx,
-        qd * w_m1 / dx, qd * w_0 / dx, qd * w_p1 / dx, qd * w_q / dx,
+        qf * _flux(-1.5 - prevn, -1.5 - xn),
+        qf * _flux(-0.5 - prevn, -0.5 - xn),
+        qf * _flux(0.5 - prevn, 0.5 - xn),
+        qf * _flux(1.5 - prevn, 1.5 - xn),
+        qf * _flux(2.5 - prevn, 2.5 - xn),
+        qy * w_m1, qy * w_0, qy * w_p1,
+        qz * w_m1, qz * w_0, qz * w_p1,
+        qx * w_m1, qx * w_0, qx * w_p1, qx * w_q,
         jnp.zeros_like(qd),
     ]
     RB = spec.block // 128
@@ -705,12 +714,12 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     Ex, Ey, Ez, Bx, By, Bz = _gather_fields(
         spec, eb_ref, base, rel, relf, x, fitf
     )
-    (unx, uny, unz, gn, gh, chi, work, vty, vtz) = _push_core(
+    (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) = _push_core(
         spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz
     )
 
     prev = x
-    xn = x + C * unx * dt / (dx * gn)
+    xn = x + F32(C * dt / dx) * unx * ign
     fl = jnp.floor(xn)
     shift = jnp.where(
         fl < 0.0, _IM1, jnp.where(fl > 0.0, _IP1, _IZ)
@@ -741,7 +750,8 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     if spec.dep_skip:
         return
     qd = jnp.where(upd, q, _ZERO)
-    _deposit_block(spec, base, celln, xn, prevn, qd, uny, unz, gn, out_ref)
+    _deposit_block(spec, base, celln, xn, prevn, qd,
+                   F32(C) * uny * ign, F32(C) * unz * ign, out_ref)
 
 
 def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
