@@ -39,6 +39,12 @@ from .species import ParticleState
 _TINY = 1.0e-300
 
 
+def _tiny(dtype) -> float:
+    """Guard epsilon by dtype: 1e-300 underflows to 0.0 in f32 (the
+    mixed-precision state dtype), defeating divide/log guards."""
+    return 1.0e-37 if dtype == jnp.float32 else _TINY
+
+
 from .vec3 import orthogonal as _orthogonal, rotate_around as _rotate_around
 
 
@@ -97,7 +103,7 @@ def emit_radiation(sim, species, t, key):
 
     e_u = e.u  # one (N, 3) stack of the momentum columns for the run
     u_w = g(e_u)
-    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(u_w * u_w, axis=-1), _TINY))
+    u_norm = jnp.sqrt(jnp.maximum(jnp.sum(u_w * u_w, axis=-1), _tiny(u_w.dtype)))
     parallel = u_w / u_norm[:, None]
     perp = _rotate_around(_orthogonal(parallel), parallel, cphi)
     if opt.beaming:
@@ -113,7 +119,7 @@ def emit_radiation(sim, species, t, key):
         * theta
         * const.SPEED_OF_LIGHT
         * const.COMPTON_TIME
-        / jnp.maximum(chi_w, _TINY)
+        / jnp.maximum(chi_w, _tiny(chi_w.dtype))
     )
 
     # --- electron update: tau reset + recoil (electron.rs:210-239) ----
@@ -121,7 +127,7 @@ def emit_radiation(sim, species, t, key):
     if opt.radiation_reaction:
         u_new = u_w - k_ph
         gamma_new = jnp.sqrt(1.0 + jnp.sum(u_new * u_new, axis=-1))
-        chi_new = chi_w * gamma_new / jnp.maximum(gamma_w, _TINY)
+        chi_new = chi_w * gamma_new / jnp.maximum(gamma_w, _tiny(gamma_w.dtype))
     else:
         u_new, gamma_new, chi_new = u_w, gamma_w, chi_w
     # cast back: the sampling tables are f64 and must not promote f32
@@ -152,7 +158,7 @@ def emit_radiation(sim, species, t, key):
         )
 
     # --- filters (interactions.rs:74-97) ------------------------------
-    k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _TINY))
+    k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _tiny(k_ph.dtype)))
     keep = valid_w
     if opt.photon_energy_min is not None:
         keep = keep & (k0 * const.ELECTRON_MASS_MEV >= opt.photon_energy_min)
@@ -165,7 +171,7 @@ def emit_radiation(sim, species, t, key):
     # --- photon construction (photon.rs:95-116, electron.rs:243-245) --
     x_w = g(e.x)
     prev_x = x_w - const.SPEED_OF_LIGHT * k_ph[:, 0] * opt.dt / (
-        jnp.maximum(k0, _TINY) * sim.geom.dx
+        jnp.maximum(k0, _tiny(k0.dtype)) * sim.geom.dx
     )
     ek = jax.random.split(k5, 2)
     buf = ParticleState(
@@ -284,7 +290,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     PHOTON_E_ECRIT_CUTOFF = 1.0e-8
     energy = ph.gamma * const.ELECTRON_MASS_MEV
     active = ph.alive & (
-        ph.chi * const.ELECTRON_MASS_MEV / jnp.maximum(energy, _TINY)
+        ph.chi * const.ELECTRON_MASS_MEV / jnp.maximum(energy, _tiny(energy.dtype))
         >= PHOTON_E_ECRIT_CUTOFF
     )
     if opt.absorption_stop_time is not None:
@@ -395,7 +401,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         take = lambda m: jnp.take_along_axis(m, kc, axis=1)[:, 0]
         pa_k, ps_k = take(p_abs), take(p_st)
         r = jax.random.uniform(jax.random.fold_in(key, bi), (nw,), dtype)
-        choose_abs = r < pa_k / jnp.maximum(pa_k + ps_k, _TINY)
+        choose_abs = r < pa_k / jnp.maximum(pa_k + ps_k, _tiny(pa_k.dtype))
         absorbed_now = event & (
             (both & choose_abs) | (~both & (k_abs < k_st))
         )
@@ -477,7 +483,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
     # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
     w_e_ev = e.weight[ev_e]
-    scale_abs = ph.weight / jnp.maximum(w_e_ev, _TINY)
+    scale_abs = ph.weight / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
     du = jnp.where(
         absorbed[:, None],
         scale_abs[:, None] * ph_u,

@@ -29,6 +29,29 @@ from . import tables_data as T
 
 _SQRT3 = math.sqrt(3.0)
 _TINY = 1.0e-300
+#: guard epsilon by dtype: the f64 literal underflows to 0.0 when cast
+#: to f32, defeating the log(0)/divide-by-zero guards
+_TINY32 = 1.0e-37
+
+
+def _tiny(dtype) -> float:
+    return _TINY32 if dtype == jnp.float32 else _TINY
+
+
+def _pick(vec, tidx, dtype):
+    """Per-query fetch from a tiny (T,) vector.
+
+    f32 queries use a gather-free one-hot mul-sum (random gathers are
+    latency-bound on TPU even from small tables — the XLA lowering does
+    not exploit table size); f64 queries keep exact advanced indexing.
+    """
+    if dtype == jnp.float32:
+        v = jnp.asarray(np.asarray(vec, np.float32))
+        onehot = tidx[..., None] == jnp.arange(
+            v.shape[0], dtype=tidx.dtype
+        )
+        return jnp.sum(jnp.where(onehot, v, np.float32(0.0)), axis=-1)
+    return jnp.asarray(np.asarray(vec))[tidx]
 
 # NOTE: all module-level tables stay host-side numpy: inside jit they
 # become HLO constants at trace time.  Eager jnp arrays here would be
@@ -60,7 +83,7 @@ def rate(chi, gamma):
     (reference: ``photon_emission.rs:59-79``).
     """
     chi = jnp.asarray(chi)
-    chi_safe = jnp.maximum(chi, _TINY)
+    chi_safe = jnp.maximum(chi, _tiny(chi.dtype))
 
     h_small = (5.0 * math.pi / 3.0) * (1.0 - 8.0 * chi / (5.0 * _SQRT3))
 
@@ -70,12 +93,27 @@ def rate(chi, gamma):
     h_large = -2260.1819695887225 + jnp.cbrt(jnp.maximum(chi, 100.0)) * h_large
     h_large = 0.00296527643253334 * h_large / jnp.maximum(chi, 100.0) ** 2
 
-    index = (jnp.log(chi_safe) - _H_LN_CHI[0]) / T.DELTA_LN_CHI
+    # float() keeps the anchor weak-typed: a numpy f64 scalar would
+    # promote f32 chi (the mixed-precision state dtype) to f64 — on
+    # TPU that silently runs the whole chain in emulated f64
+    index = (jnp.log(chi_safe) - float(_H_LN_CHI[0])) / T.DELTA_LN_CHI
     index = jnp.clip(index, 0.0, _H_LN_CHI.shape[0] - 1.0 - 1e-12)
-    lo = jnp.clip(jnp.floor(index).astype(jnp.int32), 0, _H_LN_CHI.shape[0] - 2)
-    w = index - lo
-    h_ln_h = jnp.asarray(_H_LN_H)  # trace-time constant
-    ln_h = (1.0 - w) * h_ln_h[lo] + w * h_ln_h[lo + 1]
+    if chi.dtype == jnp.float32:
+        # gather-free linear interpolation: hat weights over the 41
+        # tabulated points reproduce (1-w)*h[lo] + w*h[lo+1] exactly
+        # and fuse into one elementwise reduction (no random gather)
+        iota = jnp.arange(_H_LN_H.shape[0], dtype=jnp.float32)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(index[..., None] - iota))
+        ln_h = jnp.sum(
+            hat * jnp.asarray(_H_LN_H.astype(np.float32)), axis=-1
+        )
+    else:
+        lo = jnp.clip(
+            jnp.floor(index).astype(jnp.int32), 0, _H_LN_CHI.shape[0] - 2
+        )
+        w = index - lo
+        h_ln_h = jnp.asarray(_H_LN_H)  # trace-time constant
+        ln_h = (1.0 - w) * h_ln_h[lo] + w * h_ln_h[lo + 1]
     h_mid = jnp.exp(ln_h)
 
     h = jnp.where(chi < 0.01, h_small, jnp.where(chi >= 100.0, h_large, h_mid))
@@ -104,11 +142,11 @@ def _invert_quantum_cdf(tidx, ln_r):
     """ln(u) such that cdf(ln u; chi_tidx) = ln_r, with the power-law
     continuation below the table and clipping above
     (``photon_emission.rs:149-164``)."""
-    coeff = jnp.asarray(_Q_COEFF)[tidx]
-    power = jnp.asarray(_Q_POWER)[tidx]
-    qprep = pwmci.as_constants(_QUANTUM_PREP)
-    first_f = qprep.f[tidx, 0]
-    last_x = qprep.x[tidx, -1]
+    dt_ = jnp.asarray(ln_r).dtype
+    coeff = _pick(_Q_COEFF, tidx, dt_)
+    power = _pick(_Q_POWER, tidx, dt_)
+    first_f = _pick(_QUANTUM_PREP.f[:, 0], tidx, dt_)
+    last_x = _pick(_QUANTUM_PREP.x[:, -1], tidx, dt_)
     powerlaw = (ln_r - jnp.log(coeff)) / power
     inv, ok = pwmci.invert(_QUANTUM_PREP, tidx, ln_r)
     return jnp.where(ln_r <= first_f, powerlaw, jnp.where(ok, inv, last_x))
@@ -117,9 +155,9 @@ def _invert_quantum_cdf(tidx, ln_r):
 def _from_linear_cdf_table(global_zero, local_zero, rand, prep, tidx, coeff, power):
     """Sample y > local_zero from a CDF tabulated on global_zero < y < inf
     (``photon_emission.rs:87-121``), vectorized with masked branches."""
-    prep = pwmci.as_constants(prep)
-    first_x = prep.x[tidx, 0]
-    first_f = prep.f[tidx, 0]
+    dt_ = jnp.asarray(local_zero).dtype
+    first_x = _pick(prep.x[:, 0], tidx, dt_)
+    first_f = _pick(prep.f[:, 0], tidx, dt_)
 
     # r_zero = cdf(local_zero)
     diff = jnp.maximum(local_zero - global_zero, 0.0)
@@ -131,7 +169,9 @@ def _from_linear_cdf_table(global_zero, local_zero, rand, prep, tidx, coeff, pow
     early_out = jnp.logical_and(~below, ~ev_ok)
 
     r = r_zero + (1.0 - r_zero) * rand
-    y_pl = jnp.exp((jnp.log(jnp.maximum(r, _TINY)) - jnp.log(coeff)) / power) + global_zero
+    y_pl = jnp.exp(
+        (jnp.log(jnp.maximum(r, _tiny(dt_))) - jnp.log(coeff)) / power
+    ) + global_zero
     inv, inv_ok = pwmci.invert(prep, tidx, r)
     y = jnp.where(r <= first_f, y_pl, jnp.where(inv_ok, inv, local_zero))
     return jnp.where(early_out, local_zero, y)
@@ -141,7 +181,7 @@ def _angle_from_z(z, gamma):
     """Polar emission angle from the scaled variable z
     (``photon_emission.rs:198-199``), with the reference's NaN -> 1
     handling of cos(theta)."""
-    denom = jnp.sqrt(jnp.maximum(gamma**2 - 1.0, _TINY))
+    denom = jnp.sqrt(jnp.maximum(gamma**2 - 1.0, _tiny(jnp.asarray(gamma).dtype)))
     cos_theta = (gamma - z ** (2.0 / 3.0) / (2.0 * gamma)) / denom
     cos_theta = jnp.where(jnp.isnan(cos_theta), 1.0, cos_theta)
     return jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
@@ -156,22 +196,25 @@ def classical_sample(chi, gamma, rand1, rand2, rand3):
     """
     chi = jnp.asarray(chi)
     rand2 = jnp.asarray(rand2)
+    tiny = _tiny(chi.dtype)
     arg = (-9.0 + 50.0 * rand2 - 25.0 * rand2**2) / 16.0
     delta = jnp.arccos(jnp.clip(arg, -1.0, 1.0))
-    denom = jnp.maximum(5.0 * (1.0 - rand2), _TINY)
+    denom = jnp.maximum(5.0 * (1.0 - rand2), tiny)
     z = ((2.0 + 4.0 * jnp.cos(delta / 3.0)) / denom) ** 3
 
-    ln_rand = jnp.log(jnp.maximum(rand1, _TINY))
+    ln_rand = jnp.log(jnp.maximum(rand1, tiny))
     x_small = 1.020377255 * jnp.asarray(rand1) ** 0.6
     inv, ok = pwmci.invert(_CLASSICAL_PREP, jnp.zeros_like(ln_rand, dtype=jnp.int32), ln_rand)
-    last_ln_x = _CLASSICAL_PREP.x[0, -1]
+    # float(): numpy f64 scalars are strong-typed and would promote the
+    # f32 (mixed-precision) sampling chain to emulated f64 on TPU
+    last_ln_x = float(_CLASSICAL_PREP.x[0, -1])
     x = jnp.where(
-        ln_rand < _CLASSICAL_PREP.f[0, 0],
+        ln_rand < float(_CLASSICAL_PREP.f[0, 0]),
         x_small,
         jnp.exp(jnp.where(ok, inv, last_ln_x)),
     )
 
-    u = 3.0 * chi * x / (2.0 * jnp.maximum(z, _TINY))
+    u = 3.0 * chi * x / (2.0 * jnp.maximum(z, tiny))
     omega_mc2 = u * gamma
     theta = _angle_from_z(z, gamma)
     return omega_mc2, theta, 2.0 * math.pi * jnp.asarray(rand3)
@@ -188,7 +231,8 @@ def sample(chi, gamma, rand1, rand2, rand3):
     """
     chi = jnp.asarray(chi)
     gamma = jnp.asarray(gamma)
-    chi_safe = jnp.maximum(chi, _TINY)
+    tiny = _tiny(chi.dtype)
+    chi_safe = jnp.maximum(chi, tiny)
     ln_chi = jnp.log(chi_safe)
 
     # ---- quantum branch: u from r1 = cdf(u; chi) ----------------------
@@ -197,7 +241,7 @@ def sample(chi, gamma, rand1, rand2, rand3):
     idx = jnp.clip(jnp.floor(index).astype(jnp.int32), 0, n_chi - 2)
     w = jnp.clip(index - idx, 0.0, 1.0)
 
-    ln_r1 = jnp.log(jnp.maximum(jnp.asarray(rand1), _TINY))
+    ln_r1 = jnp.log(jnp.maximum(jnp.asarray(rand1), tiny))
     ln_u_lower = _invert_quantum_cdf(idx, ln_r1)
     ln_u_upper = _invert_quantum_cdf(idx + 1, ln_r1)
     u = jnp.exp((1.0 - w) * ln_u_lower + w * ln_u_upper)
@@ -214,13 +258,14 @@ def sample(chi, gamma, rand1, rand2, rand3):
     dw = jnp.clip(didx_f - di_c, 0.0, 1.0)
 
     gz = delta ** (-1.5)
-    y_coeff = jnp.asarray(_Y_COEFF)
-    y_power = jnp.asarray(_Y_POWER)
+    dt_ = chi.dtype
     y_lower = _from_linear_cdf_table(
-        gz, beta, rand2, _Y_PREP, di_c, y_coeff[di_c], y_power[di_c]
+        gz, beta, rand2, _Y_PREP, di_c,
+        _pick(_Y_COEFF, di_c, dt_), _pick(_Y_POWER, di_c, dt_)
     )
     y_upper = _from_linear_cdf_table(
-        gz, beta, rand2, _Y_PREP, di_c + 1, y_coeff[di_c + 1], y_power[di_c + 1]
+        gz, beta, rand2, _Y_PREP, di_c + 1,
+        _pick(_Y_COEFF, di_c + 1, dt_), _pick(_Y_POWER, di_c + 1, dt_)
     )
     y_tab = (1.0 - dw) * y_lower + dw * y_upper
     y_inf = _from_linear_cdf_table(
@@ -234,7 +279,7 @@ def sample(chi, gamma, rand1, rand2, rand3):
     )
     y = jnp.where(inf_mask, y_inf, y_tab)
 
-    z = jnp.maximum(y / jnp.maximum(beta, _TINY), 1.0)
+    z = jnp.maximum(y / jnp.maximum(beta, tiny), 1.0)
     theta_q = _angle_from_z(z, gamma)
     omega_q = gamma * u / (1.0 + u)
 

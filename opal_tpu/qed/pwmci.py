@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 BISECTION_ITERS = 44
@@ -86,6 +87,75 @@ def as_constants(prep: PreparedTables) -> PreparedTables:
     return PreparedTables(*(jnp.asarray(a) for a in prep))
 
 
+#: f32 table-concat cache; preps are module-level constants (emission.py
+#: builds them once at import), so id-keying cannot collide in practice
+_CAT32_CACHE: dict = {}
+
+
+def _cat_f32(prep: PreparedTables) -> np.ndarray:
+    """Host-side (T, 4n-2) f32 concatenation [x | f | m0 | m1], cached
+    per prepared-table stack (host numpy -> HLO constant)."""
+    key = id(prep.x)
+    cached = _CAT32_CACHE.get(key)
+    if cached is None:
+        cached = np.concatenate(
+            [prep.x, prep.f, prep.m0, prep.m1], axis=1
+        ).astype(np.float32)
+        _CAT32_CACHE[key] = cached
+    return cached
+
+
+def _rows_f32(prep: PreparedTables, tidx):
+    """Per-query table rows via a one-hot MXU contraction, f32.
+
+    ``prep.x[tidx]``-style advanced indexing is a random row gather —
+    latency-bound on TPU (measured: the emission sampler's row gathers
+    dominated the QED step at ~0.4 s/step for 262k active rows).  A
+    (Q, T) one-hot contracted against the (T, 4n-2) table concat fetches
+    the same rows on the MXU in one pass; with exactly one 1.0 per row
+    the contraction reproduces the f32-cast table values bit-exactly.
+
+    Returns ``(x_rows, f_rows, m0_rows, m1_rows)`` with shapes
+    (Q, n), (Q, n), (Q, n-1), (Q, n-1).
+    """
+    T, n = prep.x.shape
+    cat = jnp.asarray(_cat_f32(prep))  # (T, 4n-2) trace-time constant
+    if T == 1:
+        rows = jnp.broadcast_to(cat[0], tidx.shape + (cat.shape[1],))
+    else:
+        onehot = (
+            tidx[..., None] == jnp.arange(T, dtype=tidx.dtype)
+        ).astype(jnp.float32)
+        rows = lax.dot_general(
+            onehot, cat, (((onehot.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return (
+        rows[..., :n],
+        rows[..., n:2 * n],
+        rows[..., 2 * n:3 * n - 1],
+        rows[..., 3 * n - 1:],
+    )
+
+
+def _segment_f32(x_rows, f_rows, m0_rows, m1_rows, seg):
+    """Segment parameters from already-fetched rows, gather-free: a
+    one-hot over the (tiny) segment axis replaces per-row dynamic
+    indexing (``take_along_axis`` is still a random gather on TPU)."""
+    nm1 = m0_rows.shape[-1]
+    S = (
+        seg[..., None] == jnp.arange(nm1, dtype=seg.dtype)
+    ).astype(jnp.float32)
+    pick = lambda r: jnp.sum(r * S, axis=-1)
+    x0 = pick(x_rows[..., :-1])
+    x1 = pick(x_rows[..., 1:])
+    f0 = pick(f_rows[..., :-1])
+    f1 = pick(f_rows[..., 1:])
+    m0 = pick(m0_rows)
+    m1 = pick(m1_rows)
+    return x0, x1, f0, f1, m0, m1
+
+
 def _segment(prep: PreparedTables, tidx, seg):
     """Gather per-query segment parameters (x0, x1, f0, f1, m0, m1)."""
     x0 = prep.x[tidx, seg]
@@ -116,11 +186,23 @@ def evaluate(prep: PreparedTables, tidx, x):
     ``x`` exceeds the table's last abscissa (the reference returns
     ``None`` there, ``pwmci.rs:104-106``).  Below-range queries
     extrapolate with the first segment, as in the reference.
+
+    f32 queries take the gather-free one-hot path (f32-cast tables,
+    MXU row fetch — see :func:`_rows_f32`); f64 queries keep the
+    advanced-indexing path with full-precision tables.
     """
-    prep = as_constants(prep)
     tidx = jnp.asarray(tidx)
     x = jnp.asarray(x)
     n = prep.x.shape[1]
+    if x.dtype == jnp.float32:
+        rows = _rows_f32(prep, tidx)
+        x_rows = rows[0]
+        idx = jnp.sum(x[..., None] > x_rows, axis=-1)
+        in_range = idx < n
+        seg = jnp.clip(idx - 1, 0, n - 2)
+        pars = _segment_f32(*rows, seg)
+        return _hermite(x, *pars), in_range
+    prep = as_constants(prep)
     # smallest i with x <= table[i][0]; segment is (i-1, i)
     idx = jnp.sum(x[..., None] > prep.x[tidx], axis=-1)
     in_range = idx < n
@@ -136,15 +218,26 @@ def invert(prep: PreparedTables, tidx, fq):
     the table's last ordinate (reference returns ``None``,
     ``pwmci.rs:121-123``).  Uses fixed-count bisection (monotone cubic →
     bracketing is exact).
+
+    Like :func:`evaluate`, f32 queries take the gather-free one-hot
+    path; f64 queries keep the exact advanced-indexing path.
     """
-    prep = as_constants(prep)
     tidx = jnp.asarray(tidx)
     fq = jnp.asarray(fq)
     n = prep.f.shape[1]
-    idx = jnp.sum(fq[..., None] > prep.f[tidx], axis=-1)
-    in_range = idx < n
-    seg = jnp.clip(idx - 1, 0, n - 2)
-    x0, x1, f0, f1, m0, m1 = _segment(prep, tidx, seg)
+    if fq.dtype == jnp.float32:
+        rows = _rows_f32(prep, tidx)
+        f_rows = rows[1]
+        idx = jnp.sum(fq[..., None] > f_rows, axis=-1)
+        in_range = idx < n
+        seg = jnp.clip(idx - 1, 0, n - 2)
+        x0, x1, f0, f1, m0, m1 = _segment_f32(*rows, seg)
+    else:
+        prep_c = as_constants(prep)
+        idx = jnp.sum(fq[..., None] > prep_c.f[tidx], axis=-1)
+        in_range = idx < n
+        seg = jnp.clip(idx - 1, 0, n - 2)
+        x0, x1, f0, f1, m0, m1 = _segment(prep_c, tidx, seg)
 
     # unrolled (not fori_loop): each halving is a handful of
     # elementwise ops, and unrolling lets XLA fuse the whole bisection

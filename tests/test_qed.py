@@ -415,3 +415,86 @@ def test_stimulated_emission_against_oracle():
             assert bool(valid)
             assert float(got) == pytest.approx(expected, rel=1e-9)
     assert hits > 5
+
+
+# ---------------------------------------------------------------------------
+# f32 fast path vs the f64 oracle path
+# ---------------------------------------------------------------------------
+#
+# f32 queries take the gather-free one-hot table path (pwmci._rows_f32,
+# emission._pick, the hat-weight rate interpolation) — the TPU-fast
+# lowering.  These tests pin that path to the f64 advanced-indexing
+# oracle: identical algorithm on f32-cast tables, so results agree to
+# f32 roundoff except where a branch decision flips at a table/CDF
+# boundary (allowed as a tiny outlier fraction).
+
+
+def test_rate_f32_matches_f64():
+    import jax
+
+    chi = jnp.asarray(
+        np.logspace(-4, 3, 4001) * (1.0 + 1e-7), jnp.float64
+    )
+    gamma = jnp.full_like(chi, 1000.0)
+    r64 = np.asarray(emission.rate(chi, gamma))
+    r32 = np.asarray(
+        emission.rate(chi.astype(jnp.float32), gamma.astype(jnp.float32))
+    )
+    rel = np.abs(r32 - r64) / np.maximum(np.abs(r64), 1e-300)
+    assert np.nanmax(rel) < 2e-5
+
+
+def test_sample_f32_matches_f64():
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    n = 8192
+    ks = jax.random.split(key, 4)
+    ln_chi = jax.random.uniform(
+        ks[0], (n,), jnp.float64, math.log(0.02), math.log(50.0)
+    )
+    chi = jnp.exp(ln_chi)
+    gamma = jnp.full((n,), 1000.0, jnp.float64)
+    r1 = jax.random.uniform(ks[1], (n,), jnp.float64, 1e-6, 1.0)
+    r2 = jax.random.uniform(ks[2], (n,), jnp.float64, 1e-6, 1.0)
+    r3 = jax.random.uniform(ks[3], (n,), jnp.float64)
+
+    o64, t64, _ = emission.sample(chi, gamma, r1, r2, r3)
+    o32, t32, _ = emission.sample(
+        chi.astype(jnp.float32), gamma.astype(jnp.float32),
+        r1.astype(jnp.float32), r2.astype(jnp.float32),
+        r3.astype(jnp.float32),
+    )
+    o64, t64 = np.asarray(o64), np.asarray(t64)
+    o32, t32 = np.asarray(o32), np.asarray(t32)
+    rel_o = np.abs(o32 - o64) / np.maximum(np.abs(o64), 1e-30)
+    # theta is absolute-bounded by pi; compare absolutely
+    abs_t = np.abs(t32 - t64)
+    # branch flips at CDF/table boundaries may displace a few samples
+    assert np.mean(rel_o < 1e-3) > 0.995, np.sort(rel_o)[-40:]
+    assert np.mean(abs_t < 1e-3) > 0.995, np.sort(abs_t)[-40:]
+    # medians (distribution-level) must agree tightly
+    assert abs(np.median(o32) - np.median(o64)) / np.median(o64) < 1e-4
+
+
+def test_classical_sample_f32_matches_f64():
+    import jax
+
+    key = jax.random.PRNGKey(11)
+    n = 8192
+    ks = jax.random.split(key, 3)
+    chi = jnp.full((n,), 0.004, jnp.float64)
+    gamma = jnp.full((n,), 300.0, jnp.float64)
+    r1 = jax.random.uniform(ks[0], (n,), jnp.float64, 1e-6, 1.0)
+    r2 = jax.random.uniform(ks[1], (n,), jnp.float64, 1e-6, 1.0)
+    r3 = jax.random.uniform(ks[2], (n,), jnp.float64)
+    o64, t64, _ = emission.classical_sample(chi, gamma, r1, r2, r3)
+    o32, t32, _ = emission.classical_sample(
+        chi.astype(jnp.float32), gamma.astype(jnp.float32),
+        r1.astype(jnp.float32), r2.astype(jnp.float32),
+        r3.astype(jnp.float32),
+    )
+    rel_o = np.abs(np.asarray(o32) - np.asarray(o64)) / np.maximum(
+        np.asarray(o64), 1e-30
+    )
+    assert np.mean(rel_o < 1e-3) > 0.995
