@@ -437,41 +437,52 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(0, nb, body, init)
 
     if compact:
-        # scatter the walked rows back into the full buffers; photons
-        # beyond the active capacity keep their depths and fire no event
-        tau_abs = ph.tau_abs.at[atab].set(tau_abs, mode="drop")
-        tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
-        ev_kind = jnp.zeros(n_ph, jnp.int32).at[atab].set(
-            ev_kind, mode="drop"
-        )
-        ev_idx = jnp.zeros(n_ph, jnp.int32).at[atab].set(ev_idx, mode="drop")
+        # Scatter the walked depths back; photons beyond the active
+        # capacity keep their depths and fire no event.  EVENT
+        # APPLICATION (kicks, bookkeeping masks, stimulated copies,
+        # event records) stays in the (A,)-row working space: the
+        # full-length formulation costs ~n_ph scatter/gather rows per
+        # step even when no event fired (the kick alone is 3
+        # buffer-length scatter-adds).
+        full_tau_abs = ph.tau_abs.at[atab].set(tau_abs, mode="drop")
+        full_tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
+        gp = lambda a: a[wi]          # photon column -> working rows
+        ph_u_w = w_k4[:, 1:4]
+        ph_w_w = ph.weight[wi]
+    else:
+        full_tau_abs, full_tau_st = tau_abs, tau_st
+        gp = lambda a: a
+        ph_u_w = ph_u
+        ph_w_w = ph.weight
 
-    absorbed = ev_kind == 1
+    absorbed = ev_kind == 1          # (working length)
     stimulated = ev_kind == 2
     ev_e = order[ev_idx]  # unsorted electron index of the event partner
 
     # --- optional per-event records (interactions.rs:267-289) ----------
     events = None
     if opt.extra_absorption_output or opt.extra_stimulated_emission_output:
-        want = jnp.zeros(n_ph, bool)
+        want = jnp.zeros_like(absorbed)
         if opt.extra_absorption_output:
             want = want | absorbed
         if opt.extra_stimulated_emission_output:
             want = want | stimulated
         ai = 0 if axis_index is None else axis_index
         x_glob = geom.xmin + (
-            ai * geom.n_loc + ph.cell - geom.interior_start + ph.x
+            ai * geom.n_loc + gp(ph.cell) - geom.interior_start
+            + gp(ph.x)
         ) * geom.dx
         p4_ev = jnp.stack(
             [e.gamma[ev_e], e.ux[ev_e], e.uy[ev_e], e.uz[ev_e]], axis=1
         )
+        nw_rec = want.shape[0]
         rec = jnp.concatenate(
             [
                 x_glob[:, None],
-                jnp.full((n_ph, 1), t, dtype),
-                ph.birth_time[:, None],
-                ph.chi[:, None],
-                k4_ph,
+                jnp.full((nw_rec, 1), t, dtype),
+                gp(ph.birth_time)[:, None],
+                w_chi[:, None].astype(dtype),
+                w_k4.astype(dtype),
                 e.chi[ev_e][:, None],
                 p4_ev,
                 ev_kind[:, None].astype(dtype),
@@ -483,57 +494,71 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
     # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
     w_e_ev = e.weight[ev_e]
-    scale_abs = ph.weight / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
+    scale_abs = ph_w_w / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
     du = jnp.where(
         absorbed[:, None],
-        scale_abs[:, None] * ph_u,
-        jnp.where(stimulated[:, None], -ph_u, 0.0),
+        scale_abs[:, None] * ph_u_w,
+        jnp.where(stimulated[:, None], -ph_u_w, 0.0),
     )
     du = jnp.where((absorbed | stimulated)[:, None], du, 0.0)
-    ux_new = e.ux.at[ev_e].add(du[:, 0])
-    uy_new = e.uy.at[ev_e].add(du[:, 1])
-    uz_new = e.uz.at[ev_e].add(du[:, 2])
+    ux_new = e.ux.at[ev_e].add(du[:, 0].astype(e.ux.dtype))
+    uy_new = e.uy.at[ev_e].add(du[:, 1].astype(e.uy.dtype))
+    uz_new = e.uz.at[ev_e].add(du[:, 2].astype(e.uz.dtype))
     gamma_new = jnp.sqrt(1.0 + ux_new**2 + uy_new**2 + uz_new**2)
     e = dataclasses.replace(
         e, ux=ux_new, uy=uy_new, uz=uz_new, gamma=gamma_new
     )
 
     # --- photon bookkeeping -------------------------------------------
+    if compact:
+        # full-length kill mask from the working rows (one bool scatter)
+        absorbed_full = jnp.zeros(n_ph, bool).at[atab].set(
+            absorbed, mode="drop"
+        )
+    else:
+        absorbed_full = absorbed
     ph = dataclasses.replace(
         ph,
-        tau_abs=tau_abs,
-        tau_st=tau_st,
-        alive=ph.alive & ~absorbed,
-        weight=jnp.where(absorbed, 0.0, ph.weight),
-        ux=jnp.where(absorbed, 0.0, ph.ux),
-        uy=jnp.where(absorbed, 0.0, ph.uy),
-        uz=jnp.where(absorbed, 0.0, ph.uz),
-        cell=jnp.where(absorbed, 0, ph.cell),
+        tau_abs=full_tau_abs,
+        tau_st=full_tau_st,
+        alive=ph.alive & ~absorbed_full,
+        weight=jnp.where(absorbed_full, 0.0, ph.weight),
+        ux=jnp.where(absorbed_full, 0.0, ph.ux),
+        uy=jnp.where(absorbed_full, 0.0, ph.uy),
+        uz=jnp.where(absorbed_full, 0.0, ph.uz),
+        cell=jnp.where(absorbed_full, 0, ph.cell),
     )
 
     # stimulated copies: same momentum, electron's weight, fresh depths
+    # (built at working length — the insert scatter then carries A rows,
+    # not the whole photon buffer).  Momentum/energy columns come from
+    # the pre-kill working gathers; position/pol columns are gathered at
+    # the working rows (absorbed rows were just zeroed in `ph`, but an
+    # absorbed row is never stimulated, so the gathered values only
+    # matter where stim is set — and those rows are untouched).
+    nw_len = stimulated.shape[0]
     ks = jax.random.split(jax.random.fold_in(key, 2_000_003), 2)
     buf = ParticleState(
-        cell=ph.cell,
-        x=ph.x,
-        prev_x=ph.prev_x,
-        y=ph.y,
-        z=ph.z,
-        weight=w_e_ev,
-        ux=ph.ux,
-        uy=ph.uy,
-        uz=ph.uz,
-        gamma=ph.gamma,
-        chi=ph.chi,
+        cell=gp(ph.cell),
+        x=gp(ph.x),
+        prev_x=gp(ph.prev_x),
+        y=gp(ph.y),
+        z=gp(ph.z),
+        weight=w_e_ev.astype(dtype),
+        ux=ph_u_w[:, 0].astype(dtype),
+        uy=ph_u_w[:, 1].astype(dtype),
+        uz=ph_u_w[:, 2].astype(dtype),
+        gamma=w_k4[:, 0].astype(dtype),
+        chi=w_chi.astype(dtype),
         tau=None,
-        tau_abs=jax.random.exponential(ks[0], (n_ph,), dtype),
-        tau_st=jax.random.exponential(ks[1], (n_ph,), dtype),
+        tau_abs=jax.random.exponential(ks[0], (nw_len,), dtype),
+        tau_st=jax.random.exponential(ks[1], (nw_len,), dtype),
         work=None,
-        birth_time=jnp.full(n_ph, t, dtype),
+        birth_time=jnp.full(nw_len, t, dtype),
         alive=stimulated,
         # stimulated copy inherits the seed photon's polarization state
-        pol=ph.pol,
-        basis=ph.basis,
+        pol=gp(ph.pol),
+        basis=gp(ph.basis),
     )
     ph, overflow = insert(ph, buf, stimulated)
     out_species = {**species, "electron": e, "photon": ph}
