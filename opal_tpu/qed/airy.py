@@ -55,7 +55,9 @@ def _taylor_coefficients(terms: int = 14) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(fk), np.asarray(gk)
 
 
-_TAYLOR_F, _TAYLOR_G = _taylor_coefficients()
+_TAYLOR_F, _TAYLOR_G = (
+    tuple(float(c) for c in a) for a in _taylor_coefficients()
+)
 
 # Quadrature scale factor a(x) = s^(-1/6) e^(-s) / (sqrt(pi) 48^(1/6) Gamma(5/6))
 _SCALE = 1.0 / (math.sqrt(math.pi) * 48.0 ** (1.0 / 6.0) * math.gamma(5.0 / 6.0))
@@ -72,7 +74,12 @@ def _fit_branch(x_lo: float, x_hi: float, n: int, deg: int):
     a, b = ls.min(), ls.max()
     u = 2.0 * (ls - a) / (b - a) - 1.0
     coef = np.polynomial.chebyshev.chebfit(u, target, deg)
-    return coef, a, b
+    # plain-float coefficients: Python floats are weak-typed in JAX, so
+    # the evaluation below inherits the INPUT's dtype (f32 stays f32 —
+    # numpy f64 scalars would promote the whole chain to f64, which on
+    # TPU means emulated arithmetic and a Mosaic lowering failure when
+    # called inside a Pallas kernel)
+    return tuple(float(c) for c in coef), float(a), float(b)
 
 
 _BRANCHES = (
@@ -82,9 +89,9 @@ _BRANCHES = (
 )
 
 
-def _clenshaw(u, coef: np.ndarray):
+def _clenshaw(u, coef):
     """Chebyshev series at u via the Clenshaw recurrence; u is any
-    array, coef a host-side 1-D coefficient vector."""
+    array, coef a host-side tuple of plain floats (weak-typed)."""
     b1 = jnp.zeros_like(u)
     b2 = jnp.zeros_like(u)
     for c in coef[:0:-1]:
@@ -106,7 +113,7 @@ def airy_ai(x):
     y = x_t * x_t * x_t
     f = jnp.zeros_like(x_t)
     g = jnp.zeros_like(x_t)
-    for fk, gk in zip(_TAYLOR_F[::-1], _TAYLOR_G[::-1]):
+    for fk, gk in zip(_TAYLOR_F[::-1], _TAYLOR_G[::-1]):  # weak floats
         f = f * y + fk
         g = g * y + gk
     taylor = f + x_t * g

@@ -20,6 +20,14 @@ from .. import constants as const
 from .airy import airy_ai
 
 _TINY = 1.0e-300
+#: 1e-300 underflows to 0.0 in f32 (the mixed-precision state dtype and
+#: the Pallas in-kernel dtype), defeating the divide guards
+
+
+def _tiny(dtype):
+    return 1.0e-37 if dtype == jnp.float32 else _TINY
+
+
 _PREF = (2.0 * math.pi * const.CLASSICAL_ELECTRON_RADIUS) ** 2 / const.ALPHA_FINE
 
 
@@ -28,15 +36,16 @@ def _scaled_cross_section(k, p, chi_gamma, chi_e, sign):
     emission (which replaces chi_e + chi_gamma by chi_e - chi_gamma)."""
     k0, kx, ky, kz = k[..., 0], k[..., 1], k[..., 2], k[..., 3]
     p0, px, py, pz = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    tiny = _tiny(jnp.asarray(k0).dtype)
 
     chi_sum = chi_e + sign * chi_gamma
-    denom = jnp.maximum(chi_e * chi_sum, _TINY)
+    denom = jnp.maximum(chi_e * chi_sum, tiny)
     g = 0.5 + 0.25 * chi_gamma**2 / denom
-    z = (jnp.maximum(chi_gamma, _TINY) / denom) ** (2.0 / 3.0)
+    z = (jnp.maximum(chi_gamma, tiny) / denom) ** (2.0 / 3.0)
     k_p = k0 * p0 - kx * px - ky * py - kz * pz
-    zbar = 2.0 * z * chi_e * k_p / jnp.maximum(chi_gamma, _TINY)
+    zbar = 2.0 * z * chi_e * k_p / jnp.maximum(chi_gamma, tiny)
     # k0 p0 form guarantees positivity (photon_absorption.rs:26)
-    zbar_z = 2.0 * p0 * k_p / jnp.maximum(k0, _TINY)
+    zbar_z = 2.0 * p0 * k_p / jnp.maximum(k0, tiny)
 
     ai, ai_valid = airy_ai(zbar)
     sigma = (
@@ -45,7 +54,7 @@ def _scaled_cross_section(k, p, chi_gamma, chi_e, sign):
         * z
         * (4.0 * g * zbar_z - 1.0)
         * ai
-        / jnp.maximum(chi_gamma * k0 * p0, _TINY)
+        / jnp.maximum(chi_gamma * k0 * p0, tiny)
     )
     base_valid = (chi_e > 0.0) & (chi_gamma > 0.0) & ai_valid
     if sign < 0:
