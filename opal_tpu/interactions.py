@@ -78,7 +78,27 @@ def emit_radiation(sim, species, t, key):
         etab, eovf = misfit_compact(emits.astype(jnp.float32), EC)
         wi = jnp.clip(etab, 0, n - 1)
         valid_w = etab < n
-        g = lambda a: a[wi]
+        # ROW-BATCHED working-set gather: one (EC, 8) row gather
+        # instead of 8 column gathers — gather cost on TPU is bound by
+        # row count, not bytes (measured ~8 ms per 262k-row column
+        # gather from 2.1M on v5e)
+        sdt = e.x.dtype
+        _gnames = ("chi", "gamma", "ux", "uy", "uz", "x", "weight",
+                   "cell")
+        _stk = jnp.stack(
+            [getattr(e, nm).astype(sdt) for nm in _gnames], axis=1
+        )
+        _rows = _stk[wi]
+        _gcol = {nm: _rows[:, j] for j, nm in enumerate(_gnames)}
+
+        def g(a, _map={}):
+            # serve the stacked columns; anything else gathers directly
+            for nm in _gnames:
+                col = getattr(e, nm)
+                if a is col:
+                    return _gcol[nm].astype(col.dtype)
+            return a[wi]
+
         m = EC
     else:
         eovf = jnp.zeros((), jnp.int32)
@@ -101,8 +121,12 @@ def emit_radiation(sim, species, t, key):
             chi_w, gamma_w, r1, r2, r3
         )
 
-    e_u = e.u  # one (N, 3) stack of the momentum columns for the run
-    u_w = g(e_u)
+    if compact:
+        u_w = jnp.stack(
+            [_gcol["ux"], _gcol["uy"], _gcol["uz"]], axis=1
+        ).astype(e.ux.dtype)
+    else:
+        u_w = e.u  # one (N, 3) stack of the momentum columns
     u_norm = jnp.sqrt(jnp.maximum(jnp.sum(u_w * u_w, axis=-1), _tiny(u_w.dtype)))
     parallel = u_w / u_norm[:, None]
     perp = _rotate_around(_orthogonal(parallel), parallel, cphi)
@@ -133,17 +157,29 @@ def emit_radiation(sim, species, t, key):
     # cast back: the sampling tables are f64 and must not promote f32
     # state (breaks the scan carry dtype when x64 is enabled)
     if compact:
-        def upd(col, new):
-            return col.at[etab].set(new.astype(col.dtype), mode="drop")
-
+        # row-batched write-back: one (EC, 6) row scatter through a
+        # staged matrix instead of 6 column scatters (see the gather
+        # note above; the stage stack/unstack are streaming passes)
+        sdt = e.x.dtype
+        stage = jnp.stack(
+            [e.ux.astype(sdt), e.uy.astype(sdt), e.uz.astype(sdt),
+             e.gamma.astype(sdt), e.chi.astype(sdt),
+             e.tau.astype(sdt)],
+            axis=1,
+        )
+        rows = jnp.stack(
+            [u_new[:, 0], u_new[:, 1], u_new[:, 2], gamma_new,
+             chi_new, tau_draw], axis=1
+        ).astype(sdt)
+        stage = stage.at[etab].set(rows, mode="drop")
         e = dataclasses.replace(
             e,
-            ux=upd(e.ux, u_new[:, 0]),
-            uy=upd(e.uy, u_new[:, 1]),
-            uz=upd(e.uz, u_new[:, 2]),
-            gamma=upd(e.gamma, gamma_new),
-            chi=upd(e.chi, chi_new),
-            tau=upd(e.tau, tau_draw),
+            ux=stage[:, 0].astype(e.ux.dtype),
+            uy=stage[:, 1].astype(e.uy.dtype),
+            uz=stage[:, 2].astype(e.uz.dtype),
+            gamma=stage[:, 3].astype(e.gamma.dtype),
+            chi=stage[:, 4].astype(e.chi.dtype),
+            tau=stage[:, 5].astype(e.tau.dtype),
         )
     else:
         sel = lambda new, old: jnp.where(valid_w, new, old).astype(old.dtype)
@@ -338,10 +374,40 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         atab = jnp.where(atab_rot < n_ph, (atab_rot + rot) % n_ph, n_ph)
         wi = jnp.clip(atab, 0, n_ph - 1)
         w_active = atab < n_ph
-        w_start, w_end = p_start[wi], p_end[wi]
-        w_k4 = k4_ph[wi]
-        w_chi = ph.chi[wi]
-        w_tau_abs0, w_tau_st0 = ph.tau_abs[wi], ph.tau_st[wi]
+        # ROW-BATCHED working-set gather: one (A, 10) row gather
+        # instead of 9 column gathers (gather cost on TPU is bound by
+        # row count, not bytes)
+        _wstk = jnp.concatenate(
+            [
+                k4_ph.astype(dtype),
+                jnp.stack(
+                    [
+                        ph.chi.astype(dtype),
+                        ph.tau_abs.astype(dtype),
+                        ph.tau_st.astype(dtype),
+                        ph.weight.astype(dtype),
+                        p_start.astype(dtype),
+                        p_end.astype(dtype),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=1,
+        )
+        _wrows = _wstk[wi]
+        w_k4 = _wrows[:, 0:4]
+        w_chi = _wrows[:, 4]
+        w_tau_abs0 = _wrows[:, 5].astype(ph.tau_abs.dtype)
+        w_tau_st0 = _wrows[:, 6].astype(ph.tau_st.dtype)
+        w_weight = _wrows[:, 7].astype(ph.weight.dtype)
+        if dtype == jnp.float32 and n_e >= (1 << 24):
+            # electron-table indices no longer exact in f32: gather the
+            # two index columns directly (two extra row-count-bound
+            # gathers, only at 16M+ electrons per device)
+            w_start, w_end = p_start[wi], p_end[wi]
+        else:
+            w_start = _wrows[:, 8].astype(p_start.dtype)
+            w_end = _wrows[:, 9].astype(p_end.dtype)
         nw = A
     else:
         aovf = jnp.zeros((), jnp.int32)
@@ -448,7 +514,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         full_tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
         gp = lambda a: a[wi]          # photon column -> working rows
         ph_u_w = w_k4[:, 1:4]
-        ph_w_w = ph.weight[wi]
+        ph_w_w = w_weight
     else:
         full_tau_abs, full_tau_st = tau_abs, tau_st
         gp = lambda a: a
@@ -536,31 +602,66 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # the working rows (absorbed rows were just zeroed in `ph`, but an
     # absorbed row is never stimulated, so the gathered values only
     # matter where stim is set — and those rows are untouched).
-    nw_len = stimulated.shape[0]
-    ks = jax.random.split(jax.random.fold_in(key, 2_000_003), 2)
-    buf = ParticleState(
-        cell=gp(ph.cell),
-        x=gp(ph.x),
-        prev_x=gp(ph.prev_x),
-        y=gp(ph.y),
-        z=gp(ph.z),
-        weight=w_e_ev.astype(dtype),
-        ux=ph_u_w[:, 0].astype(dtype),
-        uy=ph_u_w[:, 1].astype(dtype),
-        uz=ph_u_w[:, 2].astype(dtype),
-        gamma=w_k4[:, 0].astype(dtype),
-        chi=w_chi.astype(dtype),
-        tau=None,
-        tau_abs=jax.random.exponential(ks[0], (nw_len,), dtype),
-        tau_st=jax.random.exponential(ks[1], (nw_len,), dtype),
-        work=None,
-        birth_time=jnp.full(nw_len, t, dtype),
-        alive=stimulated,
-        # stimulated copy inherits the seed photon's polarization state
-        pol=gp(ph.pol),
-        basis=gp(ph.basis),
-    )
-    ph, overflow = insert(ph, buf, stimulated)
+    if not opt.stimulated_emission:
+        # statically off (the no_stimulated_emission feature): no event
+        # can be kind 2, so skip the copy construction + insert outright
+        overflow = jnp.zeros((), jnp.int32)
+    else:
+        nw_len = stimulated.shape[0]
+        ks = jax.random.split(jax.random.fold_in(key, 2_000_003), 2)
+        if compact:
+            # one (A, 14) row gather for the position/pol columns
+            _bstk = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            ph.cell.astype(dtype),
+                            ph.x.astype(dtype),
+                            ph.prev_x.astype(dtype),
+                            ph.y.astype(dtype),
+                            ph.z.astype(dtype),
+                            ph.birth_time.astype(dtype),
+                        ],
+                        axis=1,
+                    ),
+                    ph.pol.astype(dtype),
+                    ph.basis.astype(dtype),
+                ],
+                axis=1,
+            )
+            _brows = _bstk[wi]
+            b_cell = _brows[:, 0].astype(ph.cell.dtype)
+            b_x, b_px = _brows[:, 1], _brows[:, 2]
+            b_y, b_z = _brows[:, 3], _brows[:, 4]
+            b_pol = _brows[:, 6:10]
+            b_basis = _brows[:, 10:16]
+        else:
+            b_cell, b_x, b_px = ph.cell, ph.x, ph.prev_x
+            b_y, b_z = ph.y, ph.z
+            b_pol, b_basis = ph.pol, ph.basis
+        buf = ParticleState(
+            cell=b_cell,
+            x=b_x,
+            prev_x=b_px,
+            y=b_y,
+            z=b_z,
+            weight=w_e_ev.astype(dtype),
+            ux=ph_u_w[:, 0].astype(dtype),
+            uy=ph_u_w[:, 1].astype(dtype),
+            uz=ph_u_w[:, 2].astype(dtype),
+            gamma=w_k4[:, 0].astype(dtype),
+            chi=w_chi.astype(dtype),
+            tau=None,
+            tau_abs=jax.random.exponential(ks[0], (nw_len,), dtype),
+            tau_st=jax.random.exponential(ks[1], (nw_len,), dtype),
+            work=None,
+            birth_time=jnp.full(nw_len, t, dtype),
+            alive=stimulated,
+            # stimulated copy inherits the seed photon's polarization
+            pol=b_pol,
+            basis=b_basis,
+        )
+        ph, overflow = insert(ph, buf, stimulated)
     out_species = {**species, "electron": e, "photon": ph}
     deferred = overflow_pairs + aovf
     if events is not None:

@@ -626,18 +626,33 @@ def block_anchors(spec: FusedSpec, cell):
 
 
 def misfit_compact(miss, capacity):
-    """Indices of up to ``capacity`` misfit rows (prefix-compacted),
-    plus the overflow count.  Rows beyond the capacity are dropped from
-    processing (counted so the caller can surface it)."""
+    """Indices of up to ``capacity`` misfit rows (prefix-compacted,
+    ascending), plus the overflow count.  Rows beyond the capacity are
+    dropped from processing (counted so the caller can surface it);
+    entries beyond the total come back as n (dropped by the caller's
+    fill/drop scatter modes).
+
+    Two implementations with identical results, selected by capacity:
+
+    * small capacities (the per-step misfit fallback, cap ~512): blocked
+      two-level cumsum + searchsorted — the searchsorted is ~22 tiny
+      binary-search gathers, sub-ms.
+    * large capacities (QED active sets, cap ~1e5+): one single-key
+      ``lax.sort`` of ``where(miss, iota, n)`` — measured 6.0 ms vs
+      45 ms for the cumsum+searchsorted at 2.1M rows on v5e (the
+      searchsorted 'scan' lowering is latency-bound at large query
+      counts; the round-1 choice of cumsum+searchsorted was made on the
+      CPU backend while the tunnel was down and inverts on real TPU).
+    """
+    m = miss > 0.5
+    n = m.shape[0]
+    if capacity > 4096:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        table = lax.sort(jnp.where(m, iota, np.int32(n)))[:capacity]
+        total = jnp.sum(m.astype(jnp.int32))
+        return table, jnp.maximum(total - capacity, 0)
     from .deposit import _cumsum_cols
 
-    m = miss > 0.5
-    # blocked two-level cumsum (a flat particle-length cumsum costs
-    # ~1.8 ms on v5e vs ~0.3 ms blocked), then searchsorted recovers
-    # the index of the r-th misfit: R jumps by one exactly at misfit
-    # rows, and queries beyond the total land at n (dropped by the
-    # caller's fill/drop modes).  A scatter-built table would be a
-    # latency-bound particle-length scatter (~13 ms).
     R = _cumsum_cols(m.astype(jnp.int32)[:, None])[:, 0]
     table = jnp.searchsorted(
         R, jnp.arange(1, capacity + 1, dtype=R.dtype)

@@ -560,17 +560,20 @@ def insert(state: ParticleState, buf: ParticleState, valid):
 
     Returns (state, overflow) where overflow counts entries that found
     no free slot.  Used by migration and by photon emission.
+
+    For large entry counts the per-field scatters are ROW-BATCHED: all
+    ~19 particle fields are staged into one (n, width) matrix and
+    written with a single row scatter.  Scatter cost on TPU is bound by
+    row count, not bytes (measured 2.5 ms per 262k-row column scatter
+    at 2.1M on v5e), so 19 column scatters cost ~19x one row scatter
+    while the staging stack/unstack are streaming passes (~1 ms).
     """
     from ..ops.fused import misfit_compact
 
     n = state.alive.shape[0]
     m = valid.shape[0]
 
-    # table of the first min(m, n_free) dead slots, ascending (same
-    # order a stable sort on the alive bit gives, but via the blocked
-    # cumsum + searchsorted of misfit_compact — one streaming pass over
-    # the buffer instead of a full-length multi-pass sort; entries past
-    # the free count come back as n and the scatter drops them)
+    # table of the first min(m, n_free) dead slots, ascending
     slots = misfit_compact((~state.alive).astype(jnp.float32), m)[0]
 
     rank = jnp.cumsum(valid) - 1  # destination rank among valid entries
@@ -579,18 +582,45 @@ def insert(state: ParticleState, buf: ParticleState, valid):
     ok = in_cap & (dest < n)
     # route rejected entries to a dummy slot index n (dropped by scatter)
     dest = jnp.where(ok, dest, n)
-
-    def put(path, a, b):
-        if a is None:
-            return None
-        name = path[0].name
-        if name == "alive":
-            return a.at[dest].set(ok, mode="drop")
-        return a.at[dest].set(b, mode="drop")
-
-    state = tree_util.tree_map_with_path(put, state, buf)
     overflow = jnp.sum(valid) - jnp.sum(ok)
-    return state, overflow
+
+    if m <= 4096:
+        def put(path, a, b):
+            if a is None:
+                return None
+            name = path[0].name
+            if name == "alive":
+                return a.at[dest].set(ok, mode="drop")
+            return a.at[dest].set(b, mode="drop")
+
+        return tree_util.tree_map_with_path(put, state, buf), overflow
+
+    # ---- row-batched path ------------------------------------------
+    # stage dtype: wide enough to round-trip every field exactly
+    # (f32 state + i32 cells < 2^24 fit f32; under x64 everything is
+    # f64 with cells < 2^53)
+    sdt = state.x.dtype
+    names, widths, scols, bcols = [], [], [], []
+    for f in dataclasses.fields(ParticleState):
+        a = getattr(state, f.name)
+        if a is None:
+            continue
+        b = ok if f.name == "alive" else getattr(buf, f.name)
+        w = 1 if a.ndim == 1 else int(np.prod(a.shape[1:]))
+        names.append(f.name)
+        widths.append(w)
+        scols.append(a.reshape(n, w).astype(sdt))
+        bcols.append(b.reshape(m, w).astype(sdt))
+    stage = jnp.concatenate(scols, axis=1)
+    rows = jnp.concatenate(bcols, axis=1)
+    stage = stage.at[dest].set(rows, mode="drop")
+    out, off = {}, 0
+    for name, w in zip(names, widths):
+        a = getattr(state, name)
+        col = stage[:, off:off + w].reshape(a.shape)
+        out[name] = col.astype(a.dtype)
+        off += w
+    return dataclasses.replace(state, **out), overflow
 
 
 def _window_rows(a, K, t0):

@@ -1,13 +1,14 @@
 """Microbenchmark the QED step's building blocks on the attached device.
 
-Times each suspect independently at bench-deck shapes so a single chip
-session attributes the QED step cost (the 2026-08-19 r2d capture measured
-emission-only at ~0.44 s/step and full QED at ~2.25 s/step at 2.1M
-particles, vs 7.7 ms non-QED — these are latency-bound data-movement
-costs, not FLOPs).
+Each case runs as a lax.scan with STATE FEEDBACK (outputs perturb the
+next iteration's inputs) so XLA cannot hoist or overlap the work — the
+plain timeit-style harness measured 200 MB gathers at "0.04 ms"
+(loop-invariant code motion / async overlap; see BASELINE.md round-1
+continuation-3 notes).  Timed as one compiled program of STEPS
+iterations; reported per iteration.
 
 Usage: python tools/qed_micro.py [--n 2097152] [--ec 262144]
-                                 [--cases sample,searchsorted,...]
+                                 [--steps 20] [--cases a,b,...]
 """
 
 import argparse
@@ -17,108 +18,122 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def timeit(fn, *args, reps=5):
-    import jax
-
-    out = jax.block_until_ready(fn(*args))  # compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2097152)
     ap.add_argument("--ec", type=int, default=262144)
     ap.add_argument("--nph", type=int, default=2621440)
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cases", default="all")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from opal_tpu.qed import emission
     from opal_tpu.ops.fused import misfit_compact
 
     dev = jax.devices()[0]
-    print(f"# device={dev.device_kind}", flush=True)
-    n, ec, nph = args.n, args.ec, args.nph
+    print(f"# device={dev.device_kind} steps={args.steps}", flush=True)
+    n, ec, nph, steps = args.n, args.ec, args.nph, args.steps
     cases = args.cases.split(",") if args.cases != "all" else [
-        "rate", "sample", "compact", "searchsorted", "gather_scatter",
-        "segments",
+        "rate", "sample", "compact", "ss_scan", "ss_sort",
+        "gather", "scatter", "walk",
     ]
-
+    f32 = jnp.float32
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
-    f32 = jnp.float32
+
+    def scan_time(name, body, carry0):
+        @jax.jit
+        def run(c):
+            return lax.scan(body, c, None, length=steps)
+        t0 = time.monotonic()
+        out = jax.block_until_ready(run(carry0))
+        comp = time.monotonic() - t0
+        t0 = time.monotonic()
+        out = jax.block_until_ready(run(carry0))
+        el = time.monotonic() - t0
+        print(f"{name:<28} {1e3 * el / steps:9.3f} ms/iter "
+              f"(compile {comp:.1f}s)", flush=True)
+        return out
 
     if "rate" in cases:
-        chi = jax.random.uniform(ks[0], (n,), f32, 0.005, 0.1)
+        chi0 = jax.random.uniform(ks[0], (n,), f32, 0.005, 0.1)
         gam = jnp.full((n,), 1000.0, f32)
-        ms = timeit(jax.jit(emission.rate), chi, gam)
-        print(f"rate            n={n:>9}  {ms:8.2f} ms")
+
+        def body(chi, _):
+            r = emission.rate(chi, gam)
+            return chi * (1.0 + 1e-12 * jnp.tanh(r * 1e-18)), ()
+        scan_time(f"rate n={n}", body, chi0)
 
     if "sample" in cases:
-        chi = jax.random.uniform(ks[0], (ec,), f32, 0.005, 0.1)
+        chi0 = jax.random.uniform(ks[0], (ec,), f32, 0.005, 0.1)
         gam = jnp.full((ec,), 1000.0, f32)
         r1 = jax.random.uniform(ks[1], (ec,), f32, 1e-6, 1.0)
         r2 = jax.random.uniform(ks[2], (ec,), f32, 1e-6, 1.0)
         r3 = jax.random.uniform(ks[3], (ec,), f32)
-        ms = timeit(jax.jit(emission.sample), chi, gam, r1, r2, r3)
-        print(f"sample          ec={ec:>8}  {ms:8.2f} ms")
+
+        def body(carry, _):
+            chi, r1c = carry
+            o, th, cp = emission.sample(chi, gam, r1c, r2, r3)
+            chi2 = jnp.clip(chi * (1.0 + 1e-10 * jnp.tanh(o)), 0.005, 0.1)
+            r1n = jnp.clip(r1c * (1.0 + 1e-10 * jnp.tanh(th)), 1e-6, 1.0)
+            return (chi2, r1n), ()
+        scan_time(f"sample ec={ec}", body, (chi0, r1))
 
     if "compact" in cases:
-        mask = jax.random.bernoulli(ks[4], 0.01, (n,)).astype(f32)
-        f = jax.jit(lambda m: misfit_compact(m, ec))
-        ms = timeit(f, mask)
-        print(f"misfit_compact  n={n:>9} cap={ec}  {ms:8.2f} ms")
+        m0 = jax.random.bernoulli(ks[4], 0.01, (n,)).astype(f32)
 
-    if "searchsorted" in cases:
-        # the insert/compaction shape: cap consecutive-integer queries
-        # into an N-long monotone array
-        R = jnp.cumsum(jax.random.bernoulli(ks[4], 0.01, (nph,)).astype(jnp.int32))
-        q = jnp.arange(1, ec + 1, dtype=jnp.int32)
-        for method in ("scan", "scan_unrolled", "sort"):
-            f = jax.jit(lambda R, q, m=method: jnp.searchsorted(R, q, method=m))
-            try:
-                ms = timeit(f, R, q)
-                print(f"searchsorted[{method:>13}] N={nph} q={ec}  {ms:8.2f} ms")
-            except Exception as e:  # scan_unrolled may blow compile
-                print(f"searchsorted[{method:>13}] FAILED: {type(e).__name__}")
-        # the absorb segment shape: n_ph queries into n_e sorted cells
-        cells_e = jnp.sort(jax.random.randint(ks[5], (n,), 0, 16384))
-        cells_p = jax.random.randint(ks[6], (nph,), 0, 16384)
-        for method in ("scan", "sort"):
-            f = jax.jit(lambda a, v, m=method: jnp.searchsorted(a, v, method=m))
-            ms = timeit(f, cells_e, cells_p)
-            print(f"seg searchsorted[{method:>5}] n_e={n} n_ph={nph}  {ms:8.2f} ms")
-        # small-table variant: per-cell boundaries then a photon gather
-        def seg_via_cells(a, v):
-            bnd = jnp.searchsorted(a, jnp.arange(16385, dtype=a.dtype))
-            return bnd[v]
-        ms = timeit(jax.jit(seg_via_cells), cells_e, cells_p)
-        print(f"seg via cell-bnd + gather                {ms:8.2f} ms")
+        def body(m, _):
+            tab, ovf = misfit_compact(m, ec)
+            upd = jnp.zeros_like(m).at[jnp.clip(tab, 0, n - 1)].add(1e-12)
+            return jnp.clip(m + upd, 0.0, 1.0), ()
+        scan_time(f"misfit_compact n={n} cap={ec}", body, m0)
 
-    if "gather_scatter" in cases:
+    if "ss_scan" in cases or "ss_sort" in cases:
+        R0 = jnp.cumsum(
+            jax.random.bernoulli(ks[4], 0.1, (nph,)).astype(jnp.int32)
+        )
+        q0 = jnp.arange(1, ec + 1, dtype=jnp.int32)
+        for m in ("scan", "sort"):
+            if f"ss_{m}" not in cases:
+                continue
+
+            def body(q, _, m=m):
+                tab = jnp.searchsorted(R0, q, method=m).astype(jnp.int32)
+                return jnp.clip(tab % nph, 1, nph), ()
+            scan_time(f"searchsorted[{m}] N={nph} q={ec}", body, q0)
+
+    if "gather" in cases:
         col = jax.random.uniform(ks[5], (n,), f32)
-        idx = jnp.sort(jax.random.randint(ks[6], (ec,), 0, n))
-        g = jax.jit(lambda c, i: c[i])
-        ms = timeit(g, col, idx)
-        print(f"gather (ec from n) x1 col              {ms:8.2f} ms")
-        vals = jax.random.uniform(ks[7], (ec,), f32)
-        s = jax.jit(lambda c, i, v: c.at[i].set(v, mode="drop"))
-        ms = timeit(s, col, idx, vals)
-        print(f"scatter (ec into n) x1 col             {ms:8.2f} ms")
+        idx0 = jnp.sort(jax.random.randint(ks[6], (ec,), 0, n))
 
-    if "segments" in cases:
-        # the absorb candidate-walk row gather: (nw, B, 6) from (n, 6)
+        def body(idx, _):
+            y = col[idx]
+            return (idx + (y > 0.5).astype(jnp.int32)) % n, ()
+        scan_time(f"gather ec={ec} from n={n}", body, idx0)
+
+    if "scatter" in cases:
+        col0 = jax.random.uniform(ks[5], (n,), f32)
+        idx = jnp.sort(jax.random.randint(ks[6], (ec,), 0, n))
+        vals = jax.random.uniform(ks[7], (ec,), f32)
+
+        def body(col, _):
+            col = col.at[idx].set(vals + col[0])
+            return col, ()
+        scan_time(f"scatter ec={ec} into n={n}", body, col0)
+
+    if "walk" in cases:
         et = jax.random.uniform(ks[5], (n, 6), f32)
-        idx = jax.random.randint(ks[6], (ec, 32), 0, n)
-        f = jax.jit(lambda t, i: t[i])
-        ms = timeit(f, et, idx)
-        print(f"walk row gather (ec x 32 x 6)          {ms:8.2f} ms")
+        idx0 = jax.random.randint(ks[6], (ec, 32), 0, n)
+
+        def body(idx, _):
+            rows = et[idx]  # (ec, 32, 6)
+            return (idx + (rows[..., 0] > 0.5).astype(jnp.int32)) % n, ()
+        scan_time(f"walk row gather ({ec}, 32, 6)", body, idx0)
 
 
 if __name__ == "__main__":
