@@ -182,6 +182,10 @@ def main(argv=None):
     parser.add_argument("--fused-block", type=int, default=0,
                         help="particles per kernel grid step (0 = auto: "
                              "4096, or 2048 for --qed)")
+    parser.add_argument("--fused-subblocks", type=int, default=1,
+                        help="logical blocks per kernel grid program "
+                             "(amortizes per-program overhead without "
+                             "widening the window)")
     parser.add_argument("--fused-resort", type=int, default=0,
                         help="maintenance-sort cadence (steps): the kernel "
                              "re-anchors blocks every step, so sorts only "
@@ -327,6 +331,7 @@ def main(argv=None):
         packed_fused=args.packed,
         fused_lite=-1 if args.lite else 0,
         mxu_gather=args.mxu_gather,
+        fused_subblocks=args.fused_subblocks,
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus
         # dispersion slack — NOT the old + 2*(resort-1) drift term

@@ -277,6 +277,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         packed_fused=bool(tpu_opt("packed_fused", 0)),
         fused_block=fused_block,
         fused_window=fused_window,
+        fused_subblocks=int(tpu_opt("fused_subblocks", 1)),
         fused_resort_every=fused_resort_every,
         fused_misfit_capacity=int(tpu_opt("fused_misfit_capacity", 1024)),
         migration_every=migration_every,

@@ -116,6 +116,14 @@ class FusedSpec(NamedTuple):
     # MXU, and the VPU only evaluates the 8 tap weights + 20 FMAs —
     # W-INDEPENDENT, vs ~22*W ops/particle for the loop.
     mxu_gather: bool = False
+    # logical blocks (window/anchor granularity) per grid program: the
+    # kernel body loops over ``subblocks`` consecutive blocks, each
+    # with its own window base.  Cuts the program count (and with it
+    # the per-program DMA-issue/grid overhead) by the same factor
+    # WITHOUT widening the window — at 8.4M particles and block=4096
+    # the step runs 2048 programs, and per-program overhead is a
+    # leading kernel cost candidate (see BASELINE.md r2e sweep).
+    subblocks: int = 1
 
 
 #: scalar literals fed to jnp.* ufuncs inside kernel code MUST be f32:
@@ -261,10 +269,6 @@ def _out_names(spec: FusedSpec):
 
 
 def _kernel(spec: FusedSpec, c0_ref, *refs):
-    W = spec.window
-    dt, dx = spec.dt, spec.dx
-    C = const.SPEED_OF_LIGHT
-
     # positional refs vary with the spec flags — unpack by name
     in_names = ["cell", "x", "y", "z", "ux", "uy", "uz", "g", "q"]
     if spec.work_out:
@@ -272,22 +276,42 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
     in_names.append("eb")
     out_names = _out_names(spec)
     r = dict(zip(in_names + out_names, refs))
-    eb_ref, out_ref, amin_ref = r["eb"], r["out"], r["amin"]
+    out_ref = r["out"]
 
     b = pl.program_id(0)
-    base = c0_ref[b]
 
     @pl.when(b == 0)
     def _():
         out_ref[...] = jnp.zeros((spec.n_rows, 16), F32)
 
-    cell = r["cell"][...] + spec.row_off  # field-table row index
+    # one program serves ``subblocks`` consecutive logical blocks, each
+    # with its own window base (FusedSpec.subblocks) — the loop is
+    # unrolled at trace time over static row slices
+    RBs = spec.block // 128
+    for kb in range(spec.subblocks):
+        _kernel_block(
+            spec, r, c0_ref, b * spec.subblocks + kb,
+            slice(kb * RBs, (kb + 1) * RBs),
+        )
+
+
+def _kernel_block(spec: FusedSpec, r, c0_ref, blk, sl):
+    """Gather+push+deposit for ONE logical block: ``blk`` its index in
+    the anchors/amin tables, ``sl`` its static row slice within the
+    program's refs."""
+    W = spec.window
+    dt, dx = spec.dt, spec.dx
+    C = const.SPEED_OF_LIGHT
+    eb_ref, out_ref, amin_ref = r["eb"], r["out"], r["amin"]
+    base = c0_ref[blk]
+
+    cell = r["cell"][sl, :] + spec.row_off  # field-table row index
     rel = cell - base
     relf = rel.astype(F32)
-    x = r["x"][...]
-    ux, uy, uz = r["ux"][...], r["uy"][...], r["uz"][...]
-    g = r["g"][...]
-    q = r["q"][...] * F32(spec.charge)    # macrocharge from the weight
+    x = r["x"][sl, :]
+    ux, uy, uz = r["ux"][sl, :], r["uy"][sl, :], r["uz"][sl, :]
+    g = r["g"][sl, :]
+    q = r["q"][sl, :] * F32(spec.charge)  # macrocharge from the weight
 
     fit = (rel >= 3) & (rel <= W - 4)
     miss = (q != 0.0) & ~fit
@@ -300,7 +324,7 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
         spec, eb_ref, base, rel, relf, x, fitf
     )
 
-    work_in = r["work"][...] if spec.work_out else None
+    work_in = r["work"][sl, :] if spec.work_out else None
     (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) = _push_core(
         spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz,
         lite=spec.lite,
@@ -316,33 +340,34 @@ def _kernel(spec: FusedSpec, c0_ref, *refs):
     xn = xn - fl
     prevn = prev - fl
 
-    r["ncell"][...] = jnp.where(upd, celln, cell) - spec.row_off
-    r["nx"][...] = jnp.where(upd, xn, x)
-    r["ny"][...] = jnp.where(upd, r["y"][...] + vty * dt, r["y"][...])
-    r["nz"][...] = jnp.where(upd, r["z"][...] + vtz * dt, r["z"][...])
-    r["nux"][...] = jnp.where(upd, unx, ux)
-    r["nuy"][...] = jnp.where(upd, uny, uy)
-    r["nuz"][...] = jnp.where(upd, unz, uz)
-    r["ng"][...] = jnp.where(upd, gn, g)
+    r["ncell"][sl, :] = jnp.where(upd, celln, cell) - spec.row_off
+    r["nx"][sl, :] = jnp.where(upd, xn, x)
+    y_in, z_in = r["y"][sl, :], r["z"][sl, :]
+    r["ny"][sl, :] = jnp.where(upd, y_in + vty * dt, y_in)
+    r["nz"][sl, :] = jnp.where(upd, z_in + vtz * dt, z_in)
+    r["nux"][sl, :] = jnp.where(upd, unx, ux)
+    r["nuy"][sl, :] = jnp.where(upd, uny, uy)
+    r["nuz"][sl, :] = jnp.where(upd, unz, uz)
+    r["ng"][sl, :] = jnp.where(upd, gn, g)
     if not spec.lite:
-        r["npx"][...] = jnp.where(upd, prevn, x)
+        r["npx"][sl, :] = jnp.where(upd, prevn, x)
         # chi and gamma_half feed the OUT-OF-KERNEL optical-depth
         # update (qed.emission.rate): rate(chi=0) = 0, so zeroed
         # non-updated rows are naturally inert there
-        r["ngh"][...] = jnp.where(upd, gh, _ONE)
-        r["nchi"][...] = jnp.where(upd, chi, _ZERO)
+        r["ngh"][sl, :] = jnp.where(upd, gh, _ONE)
+        r["nchi"][sl, :] = jnp.where(upd, chi, _ZERO)
     if spec.work_out:
-        r["nwork"][...] = (
+        r["nwork"][sl, :] = (
             jnp.where(upd, work, work_in) if work is not None else work_in
         )
-    r["miss"][...] = miss.astype(F32)
+    r["miss"][sl, :] = miss.astype(F32)
     # exact per-block minimum of the post-push cell rows (fit rows
     # only, so stray arrivals cannot drag a block's window away from
     # its bulk); feeds the NEXT step's window base — cells move <= 1
     # cell/step under CFL, so base = min - 4 keeps rel >= 3.  Blocks
     # with no fit rows report n_rows (clipped by the caller; every row
     # is then dead or already a misfit).
-    amin_ref[pl.ds(b, 1), :] = jnp.full(
+    amin_ref[pl.ds(blk, 1), :] = jnp.full(
         (1, 128), jnp.min(jnp.where(upd, celln, np.int32(spec.n_rows))), jnp.int32
     )
 
@@ -510,9 +535,19 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     n = cell.shape[0]
     RB = spec.block // 128
     nblk = n // spec.block
+    # effective subblock factor: the largest divisor of the block count
+    # not exceeding the requested one (degrade, don't fail — capacities
+    # are rounded to fused_block, not to block * subblocks)
+    KB = max(
+        (k for k in range(1, min(spec.subblocks, nblk) + 1)
+         if nblk % k == 0),
+        default=1,
+    )
+    if KB != spec.subblocks:
+        spec = spec._replace(subblocks=KB)
     as2d = lambda a, dtyp=F32: a.astype(dtyp).reshape(-1, 128)
     pspec = lambda: pl.BlockSpec(
-        (RB, 128), lambda i, c: (i, _IZ), memory_space=pltpu.VMEM
+        (KB * RB, 128), lambda i, c: (i, _IZ), memory_space=pltpu.VMEM
     )
     shape2 = (n // 128, 128)
     onames = _out_names(spec)
@@ -545,7 +580,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         functools.partial(_kernel, spec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nblk,),
+            grid=(nblk // KB,),
             in_specs=[pspec() for _ in range(len(ins) - 1)]
             + [_full_vmem(eb_rows.shape)],
             out_specs=tuple(out_specs),
@@ -774,6 +809,8 @@ def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
     """Packed-layout driver: H (nblk, 9, RB, 128), weight
     (nblk, RB, 128), anchors (nblk,) i32.  Returns
     (H_new, A_new, out_slab, anchors_next) — aux cols per A_COLS."""
+    if spec.subblocks != 1:
+        spec = spec._replace(subblocks=1)  # packed layout: one block/program
     nblk, _, RB, _ = H.shape
     out_shapes = (
         jax.ShapeDtypeStruct(H.shape, F32),

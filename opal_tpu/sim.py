@@ -128,6 +128,11 @@ class SimOptions:
     fused_block: int = 4096
     fused_window: int = 32
     fused_misfit_capacity: int = 1024
+    # logical blocks per fused-kernel grid program (FusedSpec.subblocks):
+    # amortizes Mosaic's per-program overhead without widening the
+    # per-block window.  Must divide the per-device block count; falls
+    # back to 1 when it does not.
+    fused_subblocks: int = 1
     # packed fast path for fused species: inside the scanned run the
     # species is carried as ONE (nblk, 9, RB, 128) hot matrix + aux/
     # weight arrays (ops.fused.PackedState) so the kernel moves 2
@@ -407,6 +412,7 @@ class Simulation:
             # only electrons carry the work integral (species.py)
             work_out=spec.kind == "electron",
             mxu_gather=opt.mxu_gather,
+            subblocks=max(1, opt.fused_subblocks),
         )
 
     def _fused_push_deposit(self, name, st, E_slab, B_slab, anchors):

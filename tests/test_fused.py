@@ -181,3 +181,43 @@ def test_fused_misfits_flagged_and_untouched():
     got = set(int(i) for i in np.asarray(table) if i < len(cells))
     assert got == set(np.flatnonzero(miss))
     assert int(overflow) == 0
+
+
+def test_fused_subblocks_parity():
+    """FusedSpec.subblocks (several logical blocks per grid program) is
+    numerically the single-block kernel: identical integer/mask outputs,
+    few-ulp float parity (interpret mode compiles the two shapes with
+    different FMA fusion, so bit equality is not guaranteed there)."""
+    args = _setup(n=4 * 2048, nx=256, seed=3)
+    spec = args[0]
+    c1, m1, o1, a1 = _run_fused(*args[:10])
+    c2, m2, o2, a2 = _run_fused(spec._replace(subblocks=4), *args[1:10])
+    for k in c1:
+        v1, v2 = np.asarray(c1[k]), np.asarray(c2[k])
+        if v1.dtype.kind == "f":
+            np.testing.assert_allclose(v1, v2, rtol=2e-5, atol=5e-7,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(v1, v2, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_fused_subblocks_degrades_to_divisor():
+    """A subblock factor that does not divide the block count degrades
+    to the largest divisor instead of failing (capacities are rounded
+    to fused_block, not block * subblocks)."""
+    args = _setup(n=3 * 2048, nx=256, seed=5)  # 3 blocks
+    spec = args[0]
+    c1, m1, o1, a1 = _run_fused(*args[:10])
+    # 2 does not divide 3 -> effective factor 1 (plus the in-kernel
+    # clamp is exercised by test_fused_subblocks_parity above)
+    c2, m2, o2, a2 = _run_fused(spec._replace(subblocks=2), *args[1:10])
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(
+        np.asarray(c1["cell"]), np.asarray(c2["cell"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1["x"]), np.asarray(c2["x"]), rtol=2e-5, atol=5e-7
+    )

@@ -61,7 +61,7 @@ _TOPO = _v5e_topology()
 
 
 def _mixed_sim(qed: bool, packed: bool, mxu_gather: bool = False,
-               mesh_devices=None):
+               mesh_devices=None, subblocks: int = 1):
     """A tiny mixed-precision sim exercising the fused Mosaic path.
     ``mesh_devices`` switches the sim's mesh onto (abstract) topology
     devices for AOT compilation; data prep always happens on CPU."""
@@ -81,6 +81,7 @@ def _mixed_sim(qed: bool, packed: bool, mxu_gather: bool = False,
         mxu_gather=mxu_gather,
         fused_block=1024,
         fused_window=16,
+        fused_subblocks=subblocks,
         fused_resort_every=4,
         migration_every=1 if qed else 3,
     )
@@ -138,17 +139,19 @@ def _trace_for_tpu(sim, args, nsteps, device=None):
     return jax.jit(blockfn).trace(*aargs)
 
 
-def _check(qed: bool, packed: bool, mxu_gather: bool = False):
+def _check(qed: bool, packed: bool, mxu_gather: bool = False,
+           subblocks: int = 1):
     """AOT-compile the step for v5e when the topology is available,
     else cross-lower only."""
     if _TOPO is not None:
         sim, args = _mixed_sim(
-            qed, packed, mxu_gather, mesh_devices=_TOPO.devices
+            qed, packed, mxu_gather, mesh_devices=_TOPO.devices,
+            subblocks=subblocks,
         )
         traced = _trace_for_tpu(sim, args, 4, device=_TOPO.devices[0])
         traced.lower().compile()  # full Mosaic pipeline
         return
-    sim, args = _mixed_sim(qed, packed, mxu_gather)
+    sim, args = _mixed_sim(qed, packed, mxu_gather, subblocks=subblocks)
     text = _trace_for_tpu(sim, args, 4).lower(
         lowering_platforms=("tpu",)
     ).as_text()
@@ -171,3 +174,8 @@ def test_mixed_precision_qed_step_compiles_for_tpu():
 def test_mixed_precision_mxu_gather_step_compiles_for_tpu():
     """The MXU one-hot gather variant of the column kernel."""
     _check(qed=False, packed=False, mxu_gather=True)
+
+
+def test_mixed_precision_subblocks_step_compiles_for_tpu():
+    """The multi-block-per-program kernel (FusedSpec.subblocks)."""
+    _check(qed=False, packed=False, subblocks=2)

@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--lite", action="store_true",
                    help="FusedSpec.lite: skip the chi/gamma-half/prev_x "
                         "output legs (the non-QED default path)")
+    p.add_argument("--subblocks", type=int, default=1,
+                   help="logical blocks per grid program "
+                        "(FusedSpec.subblocks)")
     args = p.parse_args(argv)
 
     import jax
@@ -53,6 +56,7 @@ def main(argv=None):
         block=args.block, window=args.window, n_rows=n_rows, dx=dx, dt=dt,
         charge=const.ELECTRON_CHARGE, mass=const.ELECTRON_MASS,
         dep_skip=args.dep_skip, row_off=HALO + F.PAD, lite=args.lite,
+        subblocks=args.subblocks,
     )
 
     rng = np.random.default_rng(0)

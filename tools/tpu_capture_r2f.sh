@@ -26,3 +26,24 @@ run_stage qed-micro 2400 python tools/qed_micro.py
 run_stage qed-2m-retry 5400 python bench.py --verbose --qed \
   --particles 2097152 --steps 50 --steps-per-program 25
 say "r2f capture complete"
+
+# two_stream FULL duration at FULL f64 (the reference's precision):
+# the parity reference point for the mixed-precision default's
+# full-duration drift (-5.9e-5, r2e)
+TS=/tmp/tpu_capture_runs/two_stream_f64
+rm -rf "$TS"; mkdir -p "$TS"
+cp examples/two_stream.yaml "$TS/"
+run_stage two-stream-f64 5400 python -m opal_tpu "$TS/two_stream.yaml" --f64
+python - >> "$LOG" 2>&1 <<'PYEOF'
+import glob, os
+d = "/tmp/tpu_capture_runs/two_stream_f64"
+fs = sorted(glob.glob(os.path.join(d, "*_energy.dat")),
+            key=lambda p: int(os.path.basename(p).split("_")[0]))
+def tot(p):
+    return sum(float(l.split()[1]) for l in open(p) if l.split())
+if fs:
+    t0, t1 = tot(fs[0]), tot(fs[-1])
+    print(f"two_stream f64 energy: first={t0:.6e} last={t1:.6e} "
+          f"rel drift={(t1 - t0) / t0:.3e} over {len(fs)} outputs")
+PYEOF
+say "r2f (incl. f64 two_stream) complete"
