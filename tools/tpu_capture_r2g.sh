@@ -33,3 +33,15 @@ run_stage subblocks-4 1500 python bench.py --verbose --fused-subblocks 4
 run_stage k-subblocks-4 900 python tools/kernel_bench.py --lite \
   --block 4096 --window 16 --subblocks 4
 say "r2g capture complete"
+
+# ---- emission-only (colliding_beams physics) attribution ladder ----
+# 101 ms/step at 2.1M (r2e); micro table accounts for only ~22 ms
+# (sample 5.4 + compact 6 + insert ~8 + rate 1.5 + kernel ~1.2).
+# Candidates: photon-buffer migration (migrate_compact at 2.6M rows
+# every 3rd step), maintenance sorts (resort 64), active-set scaling.
+CB="--qed --particles 2097152 --steps 50 --steps-per-program 25 --no-deposition --no-absorption"
+run_stage cb-base 1800 python bench.py --verbose $CB
+run_stage cb-nomig 1800 python bench.py --verbose $CB --no-migration
+run_stage cb-resort256 1800 python bench.py --verbose $CB --fused-resort 256
+run_stage cb-active16k 1800 python bench.py --verbose $CB --emission-active 16384
+say "r2g + emission ladder complete"
