@@ -539,7 +539,14 @@ def main(argv=None) -> int:
     spb = rp.get("steps_per_block", 0)
     if spb == 0:
         qed_on = sim.options.photon_emission or sim.options.photon_absorption
-        spb = 50 if qed_on else 1000
+        slow_path = (
+            sim.dtype == jnp.float64 or not sim.options.fused_pusher
+        )
+        # the f64/unfused step is ~6-30x the fused f32 one; a 1000-step
+        # program then exceeds the device's per-program wall-time kill
+        # (~30-90 s) — the 2026-08-20 f64 two_stream run crashed the
+        # TPU worker exactly this way
+        spb = 50 if qed_on else (200 if slow_path else 1000)
     if spb > 0 and steps_bt_output > spb + spb // 2:
         nchunks = -(-steps_bt_output // spb)
         run_chunk = -(-steps_bt_output // nchunks)

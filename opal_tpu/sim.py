@@ -781,6 +781,21 @@ class Simulation:
             migrate_compact
             if opt.migration_method == "compact" else migrate
         )
+        if self.geom.n_devices == 1 and not opt.sorted_pipeline:
+            # single-device domain mode: the exchange is a self-send
+            # (reference mod.rs:311-315).  Species with no sorted-layout
+            # contract (photons; non-fused fallbacks) then need no slot
+            # movement at all — boundary crossings wrap in place
+            # (periodic) or kill at the global edge, identical to what
+            # a send-to-self + reinsert produces.  The full
+            # migrate_compact machinery (12-operand payload sort at
+            # buffer length) was ~2/3 of the emission-only QED step at
+            # a 2.6M photon buffer on v5e (BASELINE.md r2g ladder).
+            # sorted_pipeline keeps migrate_sorted: there the exchange
+            # doubles as the layout-restoring sort.
+            mig_plain = lambda st, geom, axis_name, ai, cap: (
+                self._wrap_kill(st)
+            )
         mig = migrate_sorted if opt.sorted_pipeline else mig_plain
         return mig_fused, mig
 
