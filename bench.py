@@ -163,6 +163,11 @@ def main(argv=None):
                         default=False, help="bench A/B: packed hot-matrix "
                         "layout instead of the column-per-array kernel")
     parser.add_argument("--no-packed", dest="packed", action="store_false")
+    parser.add_argument("--sort-rowgather", dest="sort_rowgather",
+                        action="store_true", default=False,
+                        help="bench A/B: maintenance sort as key+iota "
+                        "sort + one row-batched permutation gather "
+                        "instead of the multi-operand payload sort")
     parser.add_argument("--mxu-gather", action="store_true", default=False,
                         help="bench A/B: field gather as a one-hot MXU "
                         "contraction instead of the W-cell select-sum "
@@ -331,6 +336,7 @@ def main(argv=None):
         packed_fused=args.packed,
         fused_lite=-1 if args.lite else 0,
         mxu_gather=args.mxu_gather,
+        sort_rowgather=args.sort_rowgather,
         fused_subblocks=args.fused_subblocks,
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus

@@ -344,6 +344,34 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     e_table = jnp.stack([eg_s, ux_s, uy_s, uz_s, chi_s, w_s], axis=-1)
     cdt_dx = const.SPEED_OF_LIGHT * opt.dt / geom.dx
 
+    # Per-CELL candidate table.  Every photon in cell c walks the SAME
+    # electron rows (the first K of segment [seg_start[c], seg_end[c]),
+    # interactions.rs:198-229), so the walk's electron rows are
+    # gathered once per cell — (n_cells, K) rows — instead of once per
+    # (photon, candidate) — (A, B) rows per block, the dominant
+    # absorption cost at scale (a (262k, 32, 6) random row gather
+    # costs ~50 ms on v5e; this drops the per-block gather to A rows
+    # of one packed cell block each).  Column 6 is the candidate-valid
+    # mask (beyond the cell's segment end), column 5 (weight) is
+    # pre-masked to 0 so invalid candidates contribute zero
+    # probability; the explicit mask still gates the event logic so a
+    # clipped-index garbage row can never produce a NaN that survives.
+    B = max(1, min(opt.absorption_block, K))
+    nb = -(-K // B)
+    karr_k = jnp.arange(nb * B, dtype=jnp.int32)
+    cand_idx = seg_start[:, None] + karr_k[None, :]  # (n_cells, nb*B)
+    cand_ok = (karr_k[None, :] < K) & (cand_idx < seg_end[:, None])
+    cand = e_table[jnp.clip(cand_idx, 0, n_e - 1)]
+    cand = jnp.concatenate(
+        [
+            cand[..., :5],
+            jnp.where(cand_ok, cand[..., 5], 0.0)[..., None],
+            cand_ok.astype(cand.dtype)[..., None],
+        ],
+        axis=-1,
+    )
+    cand_blocks = cand.reshape(n_cells, nb, B * 7)
+
     # Optional active-set compaction: the walk costs O(buffer capacity
     # x K) even when most photon slots are dead or have no electron
     # cell-mates (e.g. photons that left the beam).  With
@@ -387,7 +415,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
                         ph.tau_st.astype(dtype),
                         ph.weight.astype(dtype),
                         p_start.astype(dtype),
-                        p_end.astype(dtype),
+                        pcell.astype(dtype),
                     ],
                     axis=1,
                 ),
@@ -402,18 +430,19 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         w_weight = _wrows[:, 7].astype(ph.weight.dtype)
         if dtype == jnp.float32 and n_e >= (1 << 24):
             # electron-table indices no longer exact in f32: gather the
-            # two index columns directly (two extra row-count-bound
-            # gathers, only at 16M+ electrons per device)
-            w_start, w_end = p_start[wi], p_end[wi]
+            # index column directly (one extra row-count-bound gather,
+            # only at 16M+ electrons per device)
+            w_start = p_start[wi]
         else:
             w_start = _wrows[:, 8].astype(p_start.dtype)
-            w_end = _wrows[:, 9].astype(p_end.dtype)
+        w_cell = _wrows[:, 9].astype(pcell.dtype)
         nw = A
     else:
         aovf = jnp.zeros((), jnp.int32)
         atab = None
         w_active = active
-        w_start, w_end = p_start, p_end
+        w_start = p_start
+        w_cell = pcell
         w_k4, w_chi = k4_ph, ph.chi
         w_tau_abs0, w_tau_st0 = ph.tau_abs, ph.tau_st
         nw = n_ph
@@ -423,21 +452,20 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # makes K truly-serial iterations prohibitive); within a block the
     # reference's one-at-a-time optical-depth decrements become
     # cumulative sums, and the first crossing wins — identical
-    # first-event semantics (interactions.rs:244-258).
-    B = max(1, min(opt.absorption_block, K))
-    nb = -(-K // B)
-    karr = jnp.arange(B)
+    # first-event semantics (interactions.rs:244-258).  The electron
+    # rows come from the per-cell candidate table: ONE (nw,)-row
+    # gather of the photon's packed cell block per pass.
 
     def body(bi, carry):
         tau_abs, tau_st, done, ev_kind, ev_idx = carry
-        idxb = (w_start + bi * B)[:, None] + karr[None, :]  # (nw, B)
-        valid = (~done)[:, None] & w_active[:, None] & (idxb < w_end[:, None])
-        idx_c = jnp.clip(idxb, 0, n_e - 1)
-
-        rows = e_table[idx_c]  # (nw, B, 6) single row gather
+        blk = lax.dynamic_index_in_dim(
+            cand_blocks, bi, axis=1, keepdims=False
+        )  # (n_cells, B*7)
+        rows = blk[w_cell].reshape(nw, B, 7)
         p4 = rows[..., 0:4]
         chi_e = rows[..., 4]
         w_e = rows[..., 5]
+        valid = (~done)[:, None] & w_active[:, None] & (rows[..., 6] > 0.5)
 
         sig_abs, _ = cross_sections.photon_absorption(
             w_k4[:, None, :], p4, w_chi[:, None], chi_e
@@ -490,7 +518,12 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         new_st = jnp.where(stim_now, exp1[1], new_st)
 
         ev_kind = jnp.where(event, jnp.where(absorbed_now, 1, 2), ev_kind)
-        ev_idx = jnp.where(event, take(idx_c).astype(jnp.int32), ev_idx)
+        # sorted-electron index of the event column, reconstructed from
+        # the segment start (no (nw, B) index tensor materialized)
+        idx_ev = jnp.clip(
+            w_start + bi * B + jnp.clip(k_ev, 0, B - 1), 0, n_e - 1
+        )
+        ev_idx = jnp.where(event, idx_ev.astype(jnp.int32), ev_idx)
         return (new_abs, new_st, done | event, ev_kind, ev_idx)
 
     init = (

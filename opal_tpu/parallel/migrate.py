@@ -492,7 +492,8 @@ def migrate_compact(
 
 
 def sort_state(
-    state: ParticleState, n_loc: int, keep_chi: bool = False
+    state: ParticleState, n_loc: int, keep_chi: bool = False,
+    rowgather: bool = False,
 ) -> ParticleState:
     """Local cell re-sort: alive rows ascending by cell, dead rows to
     the tail with in-range placeholder cell ``n_loc - 1``.
@@ -539,10 +540,23 @@ def sort_state(
         dead, _BIG,
         2 * reduced.cell + (state.ux > 0.0).astype(jnp.int32),
     ).astype(jnp.int32)
-    out = lax.sort(
-        (skey, *(packed[:, i] for i in range(K))), num_keys=1
-    )
-    sorted_st = unpack_state(jnp.stack(out[1:], axis=1), reduced)
+    if rowgather:
+        # A/B strategy (SimOptions.sort_rowgather): 2-operand key+iota
+        # sort, then ONE row-batched permutation gather of the packed
+        # state.  Round-1 measured this 2.7x slower at 2.1M with
+        # per-column gathers; the round-2 re-pricing (gather cost is
+        # bound by ROW count, not bytes) says a single (n, K) row
+        # gather should beat the K-operand sort network at 8.4M.
+        n = packed.shape[0]
+        _, perm = lax.sort(
+            (skey, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        sorted_st = unpack_state(packed[perm], reduced)
+    else:
+        out = lax.sort(
+            (skey, *(packed[:, i] for i in range(K))), num_keys=1
+        )
+        sorted_st = unpack_state(jnp.stack(out[1:], axis=1), reduced)
     rebuilt = {}
     if state.prev_x is not None:
         rebuilt["prev_x"] = sorted_st.x

@@ -147,6 +147,12 @@ class SimOptions:
     # field gather via one-hot MXU contraction instead of the W-cell
     # select-sum loop (FusedSpec.mxu_gather) — A/B knob
     mxu_gather: bool = False
+    # maintenance-sort strategy (migrate.sort_state): key+iota sort +
+    # one row-batched permutation gather instead of the multi-operand
+    # payload sort — A/B knob (the sort phase is ~2.3 ms/step of the
+    # 8.2 ms bench step at R=256; gather cost re-priced as row-count-
+    # bound in round 2)
+    sort_rowgather: bool = False
     # lite fused kernel (FusedSpec.lite): skip the chi/gamma-half/
     # prev_x outputs and their compute where nothing consumes them
     # (ions always; electrons on non-QED decks — chi is then refreshed
@@ -816,7 +822,10 @@ class Simulation:
                 species = {**species, name: ps}
             elif self._fused_applicable(name, species[name]):
                 fspec = self._fused_spec(name)
-                st = sort_state(species[name], geom.n_loc)
+                st = sort_state(
+                    species[name], geom.n_loc,
+                    rowgather=self.options.sort_rowgather,
+                )
                 new_anchors[name] = F.block_anchors(fspec, st.cell)
                 species = {**species, name: st}
         return (E, B, J, rho, species, t, counters, events, new_anchors)
@@ -892,7 +901,9 @@ class Simulation:
                 st0 = species[name]
                 if inline_sort:
                     # R == 1: re-sort every step
-                    st0 = sort_state(st0, geom.n_loc)
+                    st0 = sort_state(
+                        st0, geom.n_loc, rowgather=opt.sort_rowgather
+                    )
                     anch = F.block_anchors(fspec, st0.cell)
                 else:
                     # between the statically scheduled sort phases the
@@ -936,7 +947,8 @@ class Simulation:
             "electron", species["electron"]
         ):
             st_e = sort_state(
-                species["electron"], geom.n_loc, keep_chi=True
+                species["electron"], geom.n_loc, keep_chi=True,
+                rowgather=opt.sort_rowgather,
             )
             species = {**species, "electron": st_e}
             new_anchors["electron"] = F.block_anchors(

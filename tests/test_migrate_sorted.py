@@ -371,3 +371,28 @@ def test_edges_pad_deletions_do_not_go_negative():
     assert int(ovf) == 0, f"overflow counter went to {int(ovf)}"
     # the pad particles were absorbed (deleted), nothing else changed
     assert int(jnp.sum(out.alive)) == n0 - n_pad
+
+
+def test_sort_state_rowgather_exact_equivalence():
+    """The rowgather strategy (key+iota sort + one row permutation
+    gather) must reproduce the payload sort bit-for-bit: lax.sort is
+    stable, so the iota payload IS the payload-sort permutation."""
+    from opal_tpu.parallel.migrate import sort_state
+
+    geom = GridGeometry(nx=64, dx=1.0, xmin=0.0, n_devices=1)
+    state = _random_state(geom, 512, 300, seed=11)
+    for keep_chi in (False, True):
+        a = jax.jit(
+            lambda s: sort_state(s, geom.n_loc, keep_chi=keep_chi)
+        )(state)
+        b = jax.jit(
+            lambda s: sort_state(
+                s, geom.n_loc, keep_chi=keep_chi, rowgather=True
+            )
+        )(state)
+        for fld in type(state).__dataclass_fields__:
+            va, vb = getattr(a, fld), getattr(b, fld)
+            if va is None:
+                assert vb is None, fld
+                continue
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), fld
