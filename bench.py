@@ -289,7 +289,11 @@ def main(argv=None):
     if not args.fused_resort:
         args.fused_resort = 64 if args.qed else 256
     if not args.fused_block:
-        args.fused_block = 2048 if args.qed else 4096
+        # 8192 x W=8 measured 1.165e9 pushes/s/chip on v5e (2026-08-20,
+        # r2h: +13.6% over 4096 x W=16) — fewer grid programs at the
+        # narrowest window.  The QED kernel variant OOMs scoped VMEM
+        # above 2048, so --qed keeps 2048.
+        args.fused_block = 2048 if args.qed else 8192
     nx = args.nx - args.nx % ndev
     npc = max(1, int(args.particles) // nx)
     n_particles = nx * npc
@@ -341,8 +345,11 @@ def main(argv=None):
         # the kernel re-anchors every block every step (exact fit-row
         # minima), so the window only needs the block's cell span plus
         # dispersion slack — NOT the old + 2*(resort-1) drift term
+        # slack 7 over the block cell span: W=8 at the bench npc beat
+        # W=16 by 9% end-to-end (r2h); the misfit fallback remains the
+        # correctness net for dispersive decks
         fused_window=args.fused_window or (
-            -(-(args.fused_block // max(1, npc) + 16) // 8) * 8
+            -(-(args.fused_block // max(1, npc) + 7) // 8) * 8
         ),
         fused_block=args.fused_block,
         fused_resort_every=args.fused_resort,

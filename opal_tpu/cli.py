@@ -188,14 +188,15 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     fused_default = 1 if dtype == jnp.float32 else 0
     fused_pusher = bool(tpu_opt("fused_pusher", fused_default))
     block_explicit = int(tpu_opt("fused_block", -1))
-    # 4096 measured fastest on v5e for non-QED steps (2026-08-19 combo
-    # sweep: +11% over 2048, +3% over 8192 at 8.4M particles).  The
-    # QED kernel variant carries more per-block VMEM temporaries and
-    # OOMs the 16 MB scoped-vmem budget at 4096 (measured same day),
-    # so QED decks stay at 2048.
+    # 8192 at the narrowest window measured fastest on v5e for non-QED
+    # steps (2026-08-20 r2h: 1.165e9 pushes/s/chip, +13.6% over
+    # 4096 x W=16 — the old combo sweep's "8192 is 3% worse" was the
+    # auto-window growth, not the block).  The QED kernel variant
+    # carries more per-block VMEM temporaries and OOMs the 16 MB
+    # scoped-vmem budget above 2048, so QED decks stay at 2048.
     qed_deck = photon_emission or photon_absorption
     fused_block = (
-        block_explicit if block_explicit > 0 else (2048 if qed_deck else 4096)
+        block_explicit if block_explicit > 0 else (2048 if qed_deck else 8192)
     )
     # window auto-sizing: cover the cells a sorted block spans plus the
     # stencil/fixup margin, rounded up to a lane-friendly multiple of 8
@@ -229,8 +230,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # window: block span + stencil/dispersion margin.  The kernel
     # re-anchors every block every step from its own fit-row minima, so
     # no per-step drift term is needed between maintenance sorts.
-    auto_w = _round_up(fused_block // epc_for_w + 16, 8)
-    fused_window = int(tpu_opt("fused_window", min(512, max(16, auto_w))))
+    # Slack 7 (W=8 at dense npc) beat slack 16 by 9% end-to-end (r2h);
+    # overruns land in the misfit fallback, a cost not a correctness
+    # concern.
+    auto_w = _round_up(fused_block // epc_for_w + 7, 8)
+    fused_window = int(tpu_opt("fused_window", min(512, max(8, auto_w))))
     # edge-exchange window: cover the leaver front, which marches
     # npc * v rows/step through the (row-static) sorted state between
     # maintenance sorts.  v is unknown at build time, so size for the
