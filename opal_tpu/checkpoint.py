@@ -151,16 +151,21 @@ def load(directory, sim):
             )
         species[name] = sim.shard_particles(ParticleState(**fields))
 
-    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     # restore every saved counter (species losses + extras like
     # qed_deferred), and zero-fill counters the current configuration
-    # expects but the (older) checkpoint lacks
+    # expects but the (older) checkpoint lacks.  Counters are (2,)
+    # int32 [hi, lo] base-2**30 pairs (sim.counter_add); legacy scalar
+    # checkpoints are converted on load.
     counters = dict(sim.zero_counters())
     for k, a in arrays.items():
         if k.startswith("counter/"):
             name = k[len("counter/"):]
+            a = np.asarray(a)
+            if a.ndim == 0:
+                v = int(a)
+                a = np.array([v >> 30, v & ((1 << 30) - 1)], np.int32)
             counters[name] = jax.device_put(
-                jnp.asarray(a, itype),
+                jnp.asarray(a, jnp.int32),
                 NamedSharding(sim.mesh, P()),
             )
     key = jax.random.wrap_key_data(jnp.asarray(arrays["key"]))

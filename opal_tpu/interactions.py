@@ -38,6 +38,11 @@ from .species import ParticleState
 
 _TINY = 1.0e-300
 
+#: per-cell candidate-table budget for the absorption walk (ADVICE r2):
+#: the table is persistent (n_cells, ceil(K/B)*B, 7) — above this the
+#: walk falls back to transient photon-bounded gathers
+CAND_TABLE_MAX_BYTES = 256 * 2**20
+
 
 def _tiny(dtype) -> float:
     """Guard epsilon by dtype: 1e-300 underflows to 0.0 in f32 (the
@@ -358,19 +363,28 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # clipped-index garbage row can never produce a NaN that survives.
     B = max(1, min(opt.absorption_block, K))
     nb = -(-K // B)
-    karr_k = jnp.arange(nb * B, dtype=jnp.int32)
-    cand_idx = seg_start[:, None] + karr_k[None, :]  # (n_cells, nb*B)
-    cand_ok = (karr_k[None, :] < K) & (cand_idx < seg_end[:, None])
-    cand = e_table[jnp.clip(cand_idx, 0, n_e - 1)]
-    cand = jnp.concatenate(
-        [
-            cand[..., :5],
-            jnp.where(cand_ok, cand[..., 5], 0.0)[..., None],
-            cand_ok.astype(cand.dtype)[..., None],
-        ],
-        axis=-1,
-    )
-    cand_blocks = cand.reshape(n_cells, nb, B * 7)
+    # Memory guard (ADVICE r2): the table is a persistent
+    # (n_cells, ceil(K/B)*B, 7) array — ~1.9 GB at n_loc ~ 256k with
+    # K = 256.  Above 256 MB fall back to the transient per-photon
+    # block gather (photon-bounded, the pre-table formulation), which
+    # is slower per pass but never scales with the grid.
+    use_cell_table = n_cells * nb * B * 7 * (
+        4 if dtype == jnp.float32 else 8
+    ) <= CAND_TABLE_MAX_BYTES
+    if use_cell_table:
+        karr_k = jnp.arange(nb * B, dtype=jnp.int32)
+        cand_idx = seg_start[:, None] + karr_k[None, :]  # (n_cells, nb*B)
+        cand_ok = (karr_k[None, :] < K) & (cand_idx < seg_end[:, None])
+        cand = e_table[jnp.clip(cand_idx, 0, n_e - 1)]
+        cand = jnp.concatenate(
+            [
+                cand[..., :5],
+                jnp.where(cand_ok, cand[..., 5], 0.0)[..., None],
+                cand_ok.astype(cand.dtype)[..., None],
+            ],
+            axis=-1,
+        )
+        cand_blocks = cand.reshape(n_cells, nb, B * 7)
 
     # Optional active-set compaction: the walk costs O(buffer capacity
     # x K) even when most photon slots are dead or have no electron
@@ -456,16 +470,31 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # rows come from the per-cell candidate table: ONE (nw,)-row
     # gather of the photon's packed cell block per pass.
 
+    if not use_cell_table:
+        # fallback path needs the segment end at working rows
+        w_end = p_end[wi] if compact else p_end
+
     def body(bi, carry):
         tau_abs, tau_st, done, ev_kind, ev_idx = carry
-        blk = lax.dynamic_index_in_dim(
-            cand_blocks, bi, axis=1, keepdims=False
-        )  # (n_cells, B*7)
-        rows = blk[w_cell].reshape(nw, B, 7)
+        if use_cell_table:
+            blk = lax.dynamic_index_in_dim(
+                cand_blocks, bi, axis=1, keepdims=False
+            )  # (n_cells, B*7)
+            rows = blk[w_cell].reshape(nw, B, 7)
+            valid = (
+                (~done)[:, None] & w_active[:, None] & (rows[..., 6] > 0.5)
+            )
+            w_e = rows[..., 5]
+        else:
+            idx = w_start[:, None] + bi * B + jnp.arange(B, dtype=jnp.int32)
+            in_seg = (idx < w_end[:, None]) & (
+                bi * B + jnp.arange(B, dtype=jnp.int32) < K
+            )
+            rows = e_table[jnp.clip(idx, 0, n_e - 1)]
+            valid = (~done)[:, None] & w_active[:, None] & in_seg
+            w_e = jnp.where(valid, rows[..., 5], 0.0)
         p4 = rows[..., 0:4]
         chi_e = rows[..., 4]
-        w_e = rows[..., 5]
-        valid = (~done)[:, None] & w_active[:, None] & (rows[..., 6] > 0.5)
 
         sig_abs, _ = cross_sections.photon_absorption(
             w_k4[:, None, :], p4, w_chi[:, None], chi_e

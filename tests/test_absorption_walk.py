@@ -130,3 +130,30 @@ def test_no_event_decrements_by_full_segment(block):
     assert int(jnp.sum(ph2.alive)) == 1  # survived
     assert float(ph2.tau_abs[0]) == pytest.approx(tau0 - total, rel=1e-10)
     np.testing.assert_array_equal(np.asarray(e2.ux), np.asarray(e.ux))
+
+
+@pytest.mark.parametrize("block", [2, 8])
+def test_fallback_gather_path_equivalent(block, monkeypatch):
+    """The large-grid fallback (per-photon transient gathers instead of
+    the persistent per-cell candidate table — ADVICE r2 memory guard)
+    must place the event and decrement depths identically."""
+    import opal_tpu.interactions as I
+
+    s = _per_weight_prob()
+    cum = np.cumsum(W) * s
+    results = {}
+    for table_bytes in (I.CAND_TABLE_MAX_BYTES, 0):
+        monkeypatch.setattr(I, "CAND_TABLE_MAX_BYTES", table_bytes)
+        sim, e, ph = _setup(tau_abs=0.5 * (cum[2] + cum[3]), block=block)
+        species, overflow, _ = I.absorb(
+            sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(0)
+        )
+        results[table_bytes] = (
+            np.asarray(species["electron"].ux),
+            np.asarray(species["photon"].tau_abs),
+            np.asarray(species["photon"].alive),
+            int(overflow),
+        )
+    a, b = results.values()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

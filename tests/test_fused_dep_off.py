@@ -17,7 +17,7 @@ pytestmark = pytest.mark.physics
 
 from opal_tpu import constants as const
 from opal_tpu.grid import GridGeometry
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import SpeciesSpec, initialize
 
 C = const.SPEED_OF_LIGHT
@@ -57,7 +57,7 @@ def _run(fused, packed, ndev=2, nsteps=60):
     )
     st = species["electron"]
     assert int(jnp.sum(st.alive)) == n0
-    assert int(counters["electron"]) == 0
+    assert counter_total(counters["electron"]) == 0
     # nothing deposits with current_deposition off
     assert float(jnp.max(jnp.abs(J))) == 0.0
     assert float(jnp.max(jnp.abs(rho))) == 0.0

@@ -16,7 +16,7 @@ import pytest
 from opal_tpu import constants as const
 from opal_tpu.grid import HALO, GridGeometry
 from opal_tpu.ops import fused as F
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import SpeciesSpec, initialize
 
 F32 = jnp.float32
@@ -147,7 +147,7 @@ def test_packed_edge_window_covers_boundary_upper_half_block():
     alive = np.asarray(sp.alive)
     cell = np.asarray(sp.cell)
     assert alive.sum() == nx * npc  # none lost
-    assert int(res[6]["electron"]) == 0
+    assert counter_total(res[6]["electron"]) == 0
     n_loc = nx // ndev
     assert ((cell[alive] >= 0) & (cell[alive] < n_loc)).all()
 
@@ -208,8 +208,8 @@ def test_packed_run_matches_unpacked():
             np.asarray(getattr(sp_u, name)), err_msg=name,
         )
     # no overflow in either pipeline
-    assert int(r_packed[6]["electron"]) == 0
-    assert int(r_plain[6]["electron"]) == 0
+    assert counter_total(r_packed[6]["electron"]) == 0
+    assert counter_total(r_plain[6]["electron"]) == 0
 
 
 @pytest.mark.physics
@@ -222,7 +222,7 @@ def test_packed_migration_conserves_particles():
     alive = np.asarray(sp.alive)
     cell = np.asarray(sp.cell)
     assert alive.sum() == 128  # nx * npc, none lost
-    assert int(res[6]["electron"]) == 0
+    assert counter_total(res[6]["electron"]) == 0
     n_loc = 128 // 4
     assert ((cell[alive] >= 0) & (cell[alive] < n_loc)).all()
     w = np.asarray(sp.weight)

@@ -14,7 +14,7 @@ from opal_tpu import constants as const
 from opal_tpu.grid import GridGeometry
 from opal_tpu.interactions import absorb, emit_radiation
 from opal_tpu.qed import cross_sections, emission
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import ParticleState, SpeciesSpec, _empty_fields
 
 C = const.SPEED_OF_LIGHT
@@ -158,7 +158,7 @@ def test_emission_rate_statistics():
     expected = n_e * R * dt * nsteps
     # recoil reduces chi slightly over time; allow 15%
     assert n_ph == pytest.approx(expected, rel=0.15), (n_ph, expected, chi)
-    assert int(counters["photon"]) == 0
+    assert counter_total(counters["photon"]) == 0
 
 
 def _pair_setup(chi_g, chi_e, k0=0.1, gamma=10.0):

@@ -10,7 +10,7 @@ import pytest
 
 from opal_tpu import constants as const
 from opal_tpu.grid import GridGeometry
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import SpeciesSpec, initialize
 
 
@@ -77,7 +77,7 @@ def test_mixed_energy_conservation():
     # particle dtype stays f32, fields stay f64 through the run
     assert res_m[0].dtype == jnp.float64
     assert res_m[4]["electron"].x.dtype == jnp.float32
-    assert int(res_m[6]["electron"]) == 0
+    assert counter_total(res_m[6]["electron"]) == 0
 
 
 @pytest.mark.physics

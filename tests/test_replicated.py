@@ -15,7 +15,7 @@ pytestmark = pytest.mark.physics
 from opal_tpu import constants as const
 from opal_tpu.fields import make_mesh
 from opal_tpu.grid import GridGeometry
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import SpeciesSpec, initialize, shard_even
 
 NDEV = 8
@@ -86,7 +86,7 @@ def test_replicated_balances_nonuniform_deck():
     per_dev = alive.reshape(NDEV, cap).sum(axis=1)
     assert per_dev.min() > 0
     assert per_dev.max() <= per_dev.min() + 1
-    assert int(res[6]["electron"]) == 0
+    assert counter_total(res[6]["electron"]) == 0
 
 
 def test_replicated_matches_domain_mode():

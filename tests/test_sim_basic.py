@@ -13,7 +13,7 @@ pytestmark = pytest.mark.physics
 
 from opal_tpu import constants as const
 from opal_tpu.grid import GridGeometry
-from opal_tpu.sim import SimOptions, Simulation
+from opal_tpu.sim import SimOptions, Simulation, counter_total
 from opal_tpu.species import SpeciesSpec, initialize
 
 C = const.SPEED_OF_LIGHT
@@ -63,7 +63,7 @@ def test_streaming_conserves_particles_and_energy(ndev, sorted_pipeline):
     )
     st = species["electron"]
     assert int(jnp.sum(st.alive)) == n0
-    assert int(counters["electron"]) == 0
+    assert counter_total(counters["electron"]) == 0
     ke1 = sim.total_kinetic_energy("electron", st)
     assert ke1 == pytest.approx(ke0, rel=1e-12)
     # all particles still inside the local domain
@@ -89,7 +89,7 @@ def test_pipelines_equivalent_with_deposition(ndev):
             E, B, J, rho, {"electron": state}, 0.0, key, counters, 120
         )
         st = species["electron"]
-        assert int(counters["electron"]) == 0
+        assert counter_total(counters["electron"]) == 0
         results[sp] = (
             np.asarray(E), np.asarray(B), np.asarray(J), np.asarray(rho),
             float(sim.total_kinetic_energy("electron", st)),
@@ -122,7 +122,7 @@ def test_migration_cadence_equivalent(ndev):
         )
         st = species["electron"]
         assert int(jnp.sum(st.alive)) == n0
-        assert int(counters["electron"]) == 0
+        assert counter_total(counters["electron"]) == 0
         results[m] = (
             np.asarray(E), np.asarray(B), np.asarray(J),
             float(sim.total_kinetic_energy("electron", st)),
@@ -172,7 +172,7 @@ def test_fused_pusher_equivalent(ndev, resort):
         )
         st = species["electron"]
         assert int(jnp.sum(st.alive)) == n0
-        assert int(counters["electron"]) == 0
+        assert counter_total(counters["electron"]) == 0
         results[fp] = (
             np.asarray(E), np.asarray(B), np.asarray(J),
             float(sim.total_kinetic_energy("electron", st)),
@@ -289,7 +289,7 @@ def test_fused_ion_pusher_equivalent():
         )
         for nm in species:
             assert int(jnp.sum(species[nm].alive)) == n0[nm], nm
-            assert int(counters[nm]) == 0, nm
+            assert counter_total(counters[nm]) == 0, nm
         results[fp] = (
             np.asarray(E), np.asarray(J),
             float(sim.total_kinetic_energy("electron", species["electron"])),
@@ -347,29 +347,55 @@ def test_single_particle_trajectory_across_devices(ndev):
     assert x_global == pytest.approx(expected, abs=1e-9 * dx)
 
 
-@pytest.mark.parametrize("ndev", [1, 8])
-def test_plasma_oscillation_total_energy(ndev):
+@pytest.mark.parametrize("ndev,fused", [(1, False), (8, False), (8, True)])
+def test_plasma_oscillation_total_energy(ndev, fused):
     """With deposition on, a uniform drifting electron slab against a
     neutralizing background starts plasma oscillations; total (field +
-    kinetic) energy must be conserved to high accuracy."""
+    kinetic) energy must be conserved to high accuracy.  The
+    ``fused=True`` case runs the f32 fused pipeline at the CLI's own
+    auto window/cadence (``cli.fused_auto_sizing``) for BOTH species —
+    the shipped-default energy-conservation oracle (VERDICT r2 #5)."""
     nx, npc = 64, 16
     dx = 5.0e-7
     dt = 0.95 * dx / C
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
-    opts = SimOptions(dt=dt, current_deposition=True, migration_capacity=2048)
+    cap = max(1024, 2 * nx * npc // ndev)
+    if fused:
+        from opal_tpu.cli import fused_auto_sizing
+        from opal_tpu.grid import HALO
+        from opal_tpu.ops.fused import PAD
+
+        block = 128
+        cap = -(-cap // block) * block
+        w_max = (geom.n_loc + 2 * HALO + 2 * PAD - 8) // 8 * 8
+        window, resort = fused_auto_sizing(
+            -(-block // npc), w_max, 64, 2.0 * 0.05
+        )
+        opts = SimOptions(
+            dt=dt, current_deposition=True, migration_capacity=2048,
+            fused_pusher=True, fused_block=block, fused_window=window,
+            fused_resort_every=resort,
+        )
+        dtype, np_dtype = jnp.float32, np.float32
+    else:
+        opts = SimOptions(
+            dt=dt, current_deposition=True, migration_capacity=2048
+        )
+        dtype, np_dtype = jnp.float64, np.float64
     espec = SpeciesSpec.electron()
     ispec = SpeciesSpec.ion("proton", 1.0, 1.0)
-    sim = Simulation(geom, opts, {"electron": espec, "proton": ispec})
+    sim = Simulation(
+        geom, opts, {"electron": espec, "proton": ispec}, dtype=dtype
+    )
 
     ne = 1.0e24
-    cap = max(1024, 2 * nx * npc // ndev)
     estate = initialize(
         espec, geom, npc,
         density=lambda x: np.full_like(x, ne),
         ux=lambda x, u, n: np.full_like(x, 0.05),
         uy=lambda x, u, n: np.zeros_like(x),
         uz=lambda x, u, n: np.zeros_like(x),
-        dt=dt, capacity_per_device=cap, seed=3,
+        dt=dt, capacity_per_device=cap, seed=3, dtype=np_dtype,
     )
     istate = initialize(
         ispec, geom, npc,
@@ -377,12 +403,15 @@ def test_plasma_oscillation_total_energy(ndev):
         ux=lambda x, u, n: np.zeros_like(x),
         uy=lambda x, u, n: np.zeros_like(x),
         uz=lambda x, u, n: np.zeros_like(x),
-        dt=dt, capacity_per_device=cap, seed=4,
+        dt=dt, capacity_per_device=cap, seed=4, dtype=np_dtype,
     )
     species = {
         "electron": sim.shard_particles(estate),
         "proton": sim.shard_particles(istate),
     }
+    if fused:
+        for nm in species:
+            assert sim._fused_applicable(nm, species[nm]), nm
     E, B, J, rho = sim.init_fields()
 
     ke0 = sum(sim.total_kinetic_energy(n, species[n]) for n in species)
@@ -391,6 +420,9 @@ def test_plasma_oscillation_total_energy(ndev):
     )
     ke1 = sum(sim.total_kinetic_energy(n, species[n]) for n in species)
     fe1 = sim.em_field_energy(E, B)
+    if fused:
+        for nm in species:
+            assert counter_total(counters[nm]) == 0, nm
     # field energy must have appeared (oscillation); the naive KE+field
     # total mixes half-step (KE) and full-step (field) quantities, so it
     # ripples at ~omega_p * dt — a few percent here, not a drift
@@ -441,7 +473,7 @@ def test_fused_long_run_invariants():
             counters, 50,
         )
     st = species["electron"]
-    assert int(counters["electron"]) == 0
+    assert counter_total(counters["electron"]) == 0
     assert int(jnp.sum(st.alive)) == n0
     cells = np.asarray(st.cell)
     alive = np.asarray(st.alive)
@@ -506,8 +538,8 @@ def test_fused_presorted_absorption_invariants(mig_every):
         jax.random.key(3), counters, 12
     )
     e2, p2 = species["electron"], species["photon"]
-    assert int(counters["photon"]) == 0
-    assert int(counters["electron"]) == 0
+    assert counter_total(counters["photon"]) == 0
+    assert counter_total(counters["electron"]) == 0
     al_p = np.asarray(p2.alive)
     assert al_p.sum() > 0  # emission fired
     cells = np.asarray(e2.cell)[np.asarray(e2.alive)]
