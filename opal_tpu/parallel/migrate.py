@@ -587,8 +587,30 @@ def insert(state: ParticleState, buf: ParticleState, valid):
     n = state.alive.shape[0]
     m = valid.shape[0]
 
-    # table of the first min(m, n_free) dead slots, ascending
-    slots = misfit_compact((~state.alive).astype(jnp.float32), m)[0]
+    # Free-slot table.  The general path (first min(m, n_free) dead
+    # slots, ascending) costs a full-buffer single-key sort (~6 ms at
+    # 2.6M rows on v5e) EVERY step it runs — the dominant fixed cost of
+    # the emission pass.  But while the buffer still has a contiguous
+    # dead TAIL of >= m rows past the high-water mark (true for the
+    # whole filling phase of an emission run: slots are handed out
+    # ascending, deaths only punch holes below the mark), the next m
+    # free slots are simply consecutive — no sort.  lax.cond is cheap
+    # here: the branch values are the (m,) slot table, not particle
+    # state (the conditional-buffer pathology is buffer-length
+    # operands).
+    if m < n:
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        hi = jnp.max(jnp.where(state.alive, iota_n, np.int32(-1))) + 1
+        slots = lax.cond(
+            hi + m <= n,
+            lambda alive: hi + jnp.arange(m, dtype=jnp.int32),
+            lambda alive: misfit_compact(
+                (~alive).astype(jnp.float32), m
+            )[0],
+            state.alive,
+        )
+    else:
+        slots = misfit_compact((~state.alive).astype(jnp.float32), m)[0]
 
     rank = jnp.cumsum(valid) - 1  # destination rank among valid entries
     in_cap = valid & (rank < m)
