@@ -210,34 +210,60 @@ def emit_radiation(sim, species, t, key):
         keep = keep & (formation_length < opt.max_formation_length)
 
     # --- photon construction (photon.rs:95-116, electron.rs:243-245) --
-    x_w = g(e.x)
-    prev_x = x_w - const.SPEED_OF_LIGHT * k_ph[:, 0] * opt.dt / (
-        jnp.maximum(k0, _tiny(k0.dtype)) * sim.geom.dx
+    # Kept photons are compacted to the insert bound FIRST, so the
+    # buffer columns and the insert's slot scatter carry the real
+    # per-step emission count, not the sampler's working length
+    # (SimOptions.emission_insert_capacity).
+    EIC = int(getattr(opt, "emission_insert_capacity", 0) or 0)
+    if EIC < 0:
+        EIC = max(16384, m // 8)
+    total_keep = jnp.sum(keep.astype(jnp.int32))
+    if 0 < EIC < m:
+        from .ops.fused import misfit_compact
+
+        ktab, _kovf = misfit_compact(keep.astype(jnp.float32), EIC)
+        ki = jnp.clip(ktab, 0, m - 1)
+        keep_c = ktab < m
+        gi = lambda a: a[ki]
+        mi = EIC
+    else:
+        ki = None
+        keep_c = keep
+        gi = lambda a: a
+        mi = m
+    x_w = gi(g(e.x))
+    k_ph_i = gi(k_ph)
+    k0_i = gi(k0)
+    prev_x = x_w - const.SPEED_OF_LIGHT * k_ph_i[:, 0] * opt.dt / (
+        jnp.maximum(k0_i, _tiny(k0_i.dtype)) * sim.geom.dx
     )
     ek = jax.random.split(k5, 2)
     buf = ParticleState(
-        cell=g(e.cell),
+        cell=gi(g(e.cell)),
         x=x_w,
         prev_x=prev_x.astype(dtype),
-        y=jnp.zeros(m, dtype),
-        z=jnp.zeros(m, dtype),
-        weight=g(e.weight),
-        ux=k_ph[:, 0].astype(dtype),
-        uy=k_ph[:, 1].astype(dtype),
-        uz=k_ph[:, 2].astype(dtype),
-        gamma=k0.astype(dtype),
-        chi=jnp.zeros(m, dtype),
+        y=jnp.zeros(mi, dtype),
+        z=jnp.zeros(mi, dtype),
+        weight=gi(g(e.weight)),
+        ux=k_ph_i[:, 0].astype(dtype),
+        uy=k_ph_i[:, 1].astype(dtype),
+        uz=k_ph_i[:, 2].astype(dtype),
+        gamma=k0_i.astype(dtype),
+        chi=jnp.zeros(mi, dtype),
         tau=None,
-        tau_abs=jax.random.exponential(ek[0], shape, dtype),
-        tau_st=jax.random.exponential(ek[1], shape, dtype),
+        tau_abs=jax.random.exponential(ek[0], (mi,), dtype),
+        tau_st=jax.random.exponential(ek[1], (mi,), dtype),
         work=None,
-        birth_time=jnp.full(m, t, dtype),
-        alive=keep,
+        birth_time=jnp.full(mi, t, dtype),
+        alive=keep_c,
         # unpolarized, basis = [k, k] placeholder (photon.rs:107-108)
-        pol=jnp.zeros((m, 4), dtype),
-        basis=jnp.concatenate([k_ph, k_ph], axis=1).astype(dtype),
+        pol=jnp.zeros((mi, 4), dtype),
+        basis=jnp.concatenate([k_ph_i, k_ph_i], axis=1).astype(dtype),
     )
-    ph, overflow = insert(ph, buf, keep)
+    ph, overflow = insert(ph, buf, keep_c)
+    # photons beyond the insert bound are dropped and counted (their
+    # emitters already recoiled — a loss, never silent)
+    overflow = overflow + total_keep - jnp.sum(keep_c.astype(jnp.int32))
     return {**species, "electron": e, "photon": ph}, overflow, eovf
 
 
@@ -282,6 +308,11 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # exchange — at most M-1 steps)
     pad = HALO
     n_cells = geom.n_loc + 2 * pad
+    # profiling-only section skips (SimOptions.debug_absorb_ablate)
+    _ablate = set(
+        x for x in (getattr(opt, "debug_absorb_ablate", "") or "").split(",")
+        if x
+    )
 
     # --- cell-sorted electron view ------------------------------------
     # one multi-operand sort carries the pairing table [p4 | chi | w]
@@ -316,16 +347,12 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     seg_end = jnp.searchsorted(sorted_cells, cells, side="right")
 
     pcell = jnp.clip(ph.cell + pad, 0, n_cells - 1)
-    p_start = seg_start[pcell]
-    p_end = seg_end[pcell]
-    # deferred-walk accounting: count PHOTONS whose candidate segment
-    # was truncated at K this step (units match the active-set overflow
-    # below — photon-steps delayed), not the raw excess-pair count.  A
-    # pair count reaches ~n_ph * n_e/cell per step and wraps the int32
-    # counter within one 50-step block on dense decks.
-    overflow_pairs = jnp.sum(
-        (ph.alive & (p_end - p_start > K)).astype(jnp.int32)
-    )
+    # Per-photon segment bounds are gathered at WORKING length below
+    # (two full-buffer row gathers here cost ~45 ms/step at a 2.6M
+    # photon buffer on v5e); only the has-cell-mates bit needs a
+    # full-length gather, and it is one boolean column.
+    seg_len = seg_end - seg_start
+    seg2 = jnp.stack([seg_start, seg_len], axis=1)  # (n_cells, 2)
 
     # --- photon skip conditions (interactions.rs:176-192) -------------
     PHOTON_E_ECRIT_CUTOFF = 1.0e-8
@@ -399,7 +426,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     if compact:
         from .ops.fused import misfit_compact
 
-        has_mates = active & (p_end > p_start)
+        has_mates = active & (seg_len[pcell] > 0)
         # Rotation fairness: misfit_compact selects the first A set rows
         # in buffer order, and the active set here is PERSISTENT (a
         # walked photon usually stays active) — under sustained overflow
@@ -428,7 +455,6 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
                         ph.tau_abs.astype(dtype),
                         ph.tau_st.astype(dtype),
                         ph.weight.astype(dtype),
-                        p_start.astype(dtype),
                         pcell.astype(dtype),
                     ],
                     axis=1,
@@ -442,24 +468,30 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         w_tau_abs0 = _wrows[:, 5].astype(ph.tau_abs.dtype)
         w_tau_st0 = _wrows[:, 6].astype(ph.tau_st.dtype)
         w_weight = _wrows[:, 7].astype(ph.weight.dtype)
-        if dtype == jnp.float32 and n_e >= (1 << 24):
-            # electron-table indices no longer exact in f32: gather the
-            # index column directly (one extra row-count-bound gather,
-            # only at 16M+ electrons per device)
-            w_start = p_start[wi]
-        else:
-            w_start = _wrows[:, 8].astype(p_start.dtype)
-        w_cell = _wrows[:, 9].astype(pcell.dtype)
+        w_cell = _wrows[:, 8].astype(pcell.dtype)
+        # per-photon segment bounds at working length: one (A,)-row
+        # gather of the (n_cells, 2) table — exact integers
+        _sl = seg2[w_cell]
+        w_start = _sl[:, 0]
+        w_end = _sl[:, 0] + _sl[:, 1]
         nw = A
     else:
         aovf = jnp.zeros((), jnp.int32)
         atab = None
         w_active = active
-        w_start = p_start
+        w_start = seg_start[pcell]
+        w_end = seg_end[pcell]
         w_cell = pcell
         w_k4, w_chi = k4_ph, ph.chi
         w_tau_abs0, w_tau_st0 = ph.tau_abs, ph.tau_st
         nw = n_ph
+    # deferred-walk accounting: count walked PHOTONS whose candidate
+    # segment was truncated at K this step (units match the active-set
+    # overflow — photon-steps delayed), not the raw excess-pair count
+    # (a pair count wraps an int32 within one block on dense decks)
+    overflow_pairs = jnp.sum(
+        ((w_end - w_start > K) & w_active).astype(jnp.int32)
+    )
 
     # Candidate walk, block-vectorized: each sequential pass examines a
     # (nw, B) block of cell-mates at once (the per-kernel launch cost
@@ -469,10 +501,6 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
     # first-event semantics (interactions.rs:244-258).  The electron
     # rows come from the per-cell candidate table: ONE (nw,)-row
     # gather of the photon's packed cell block per pass.
-
-    if not use_cell_table:
-        # fallback path needs the segment end at working rows
-        w_end = p_end[wi] if compact else p_end
 
     def body(bi, carry):
         tau_abs, tau_st, done, ev_kind, ev_idx = carry
@@ -496,16 +524,19 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         p4 = rows[..., 0:4]
         chi_e = rows[..., 4]
 
-        sig_abs, _ = cross_sections.photon_absorption(
-            w_k4[:, None, :], p4, w_chi[:, None], chi_e
-        )
-        p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
         if opt.stimulated_emission:
-            sig_st, _ = cross_sections.stimulated_emission(
+            # one fused evaluation shares the kinematic invariants
+            # between the two cross sections (both run on every pair)
+            sig_abs, sig_st = cross_sections.pair_cross_sections(
                 w_k4[:, None, :], p4, w_chi[:, None], chi_e
             )
+            p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
             p_st = jnp.where(valid, w_e * cdt_dx * sig_st, 0.0)
         else:
+            sig_abs, _ = cross_sections.photon_absorption(
+                w_k4[:, None, :], p4, w_chi[:, None], chi_e
+            )
+            p_abs = jnp.where(valid, w_e * cdt_dx * sig_abs, 0.0)
             p_st = jnp.zeros_like(p_abs)
 
         cum_abs = jnp.cumsum(p_abs, axis=1)
@@ -562,7 +593,12 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         jnp.zeros(nw, jnp.int32),
         jnp.zeros(nw, jnp.int32),
     )
-    tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(0, nb, body, init)
+    if "walk" in _ablate:
+        tau_abs, tau_st, done, ev_kind, ev_idx = init
+    else:
+        tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(
+            0, nb, body, init
+        )
 
     if compact:
         # Scatter the walked depths back; photons beyond the active
@@ -572,8 +608,11 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         # full-length formulation costs ~n_ph scatter/gather rows per
         # step even when no event fired (the kick alone is 3
         # buffer-length scatter-adds).
-        full_tau_abs = ph.tau_abs.at[atab].set(tau_abs, mode="drop")
-        full_tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
+        if "scatter" in _ablate:
+            full_tau_abs, full_tau_st = ph.tau_abs, ph.tau_st
+        else:
+            full_tau_abs = ph.tau_abs.at[atab].set(tau_abs, mode="drop")
+            full_tau_st = ph.tau_st.at[atab].set(tau_st, mode="drop")
         gp = lambda a: a[wi]          # photon column -> working rows
         ph_u_w = w_k4[:, 1:4]
         ph_w_w = w_weight
@@ -585,11 +624,11 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
 
     absorbed = ev_kind == 1          # (working length)
     stimulated = ev_kind == 2
-    ev_e = order[ev_idx]  # unsorted electron index of the event partner
 
     # --- optional per-event records (interactions.rs:267-289) ----------
     events = None
     if opt.extra_absorption_output or opt.extra_stimulated_emission_output:
+        ev_e_rec = order[ev_idx]  # unsorted electron index of the partner
         want = jnp.zeros_like(absorbed)
         if opt.extra_absorption_output:
             want = want | absorbed
@@ -601,7 +640,8 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
             + gp(ph.x)
         ) * geom.dx
         p4_ev = jnp.stack(
-            [e.gamma[ev_e], e.ux[ev_e], e.uy[ev_e], e.uz[ev_e]], axis=1
+            [e.gamma[ev_e_rec], e.ux[ev_e_rec], e.uy[ev_e_rec],
+             e.uz[ev_e_rec]], axis=1
         )
         nw_rec = want.shape[0]
         rec = jnp.concatenate(
@@ -611,7 +651,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
                 gp(ph.birth_time)[:, None],
                 w_chi[:, None].astype(dtype),
                 w_k4.astype(dtype),
-                e.chi[ev_e][:, None],
+                e.chi[ev_e_rec][:, None],
                 p4_ev,
                 ev_kind[:, None].astype(dtype),
             ],
@@ -619,23 +659,78 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         )
         events = (rec, want)
 
+    # --- event space ---------------------------------------------------
+    # Events are rare (exponential depths against ~1e-3 per-step
+    # decrements), yet the kick/copy machinery was sized by the WALK
+    # length: the partner-index and weight gathers, three kick scatters
+    # and the stimulated-copy construction + insert all carried nw rows
+    # per step even with ZERO events (ablation-measured: kicks 29 ms +
+    # insert 99 ms of the 377 ms pass at 2.1M/655k on v5e).  Compact
+    # the events to EVC rows: kicks run in event space whenever the
+    # step's event count fits (lax.cond — exact either way, and the
+    # cond operands are columns, not walk-length arrays); stimulated
+    # copies are capacity-bounded per step like every other buffer
+    # (overflow counted, never silent).
+    from .ops.fused import misfit_compact as _mc
+
+    nw_len = absorbed.shape[0]
+    EVC = min(4096, nw_len)
+    ev_any = absorbed | stimulated
+    n_ev = jnp.sum(ev_any.astype(jnp.int32))
+    etab2, _evovf = _mc(ev_any.astype(jnp.float32), EVC)
+    vj = etab2 < nw_len
+    j = jnp.clip(etab2, 0, nw_len - 1)
+    abs_j = absorbed[j] & vj
+    stim_j = stimulated[j] & vj
+    tgt = jnp.where(vj, order[jnp.clip(ev_idx[j], 0, n_e - 1)], n_e)
+    tgt_c = jnp.clip(tgt, 0, n_e - 1)
+    w_e_j = jnp.where(vj, e.weight[tgt_c], 1.0)
+    k_u_j = ph_u_w[j]
+    w_ph_j = ph_w_w[j]
+    scale_abs_j = w_ph_j / jnp.maximum(w_e_j, _tiny(w_e_j.dtype))
+    du_j = jnp.where(
+        abs_j[:, None], scale_abs_j[:, None] * k_u_j,
+        jnp.where(stim_j[:, None], -k_u_j, 0.0),
+    )
+
     # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
     # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
-    w_e_ev = e.weight[ev_e]
-    scale_abs = ph_w_w / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
-    du = jnp.where(
-        absorbed[:, None],
-        scale_abs[:, None] * ph_u_w,
-        jnp.where(stimulated[:, None], -ph_u_w, 0.0),
-    )
-    du = jnp.where((absorbed | stimulated)[:, None], du, 0.0)
-    ux_new = e.ux.at[ev_e].add(du[:, 0].astype(e.ux.dtype))
-    uy_new = e.uy.at[ev_e].add(du[:, 1].astype(e.uy.dtype))
-    uz_new = e.uz.at[ev_e].add(du[:, 2].astype(e.uz.dtype))
-    gamma_new = jnp.sqrt(1.0 + ux_new**2 + uy_new**2 + uz_new**2)
-    e = dataclasses.replace(
-        e, ux=ux_new, uy=uy_new, uz=uz_new, gamma=gamma_new
-    )
+    if "kicks" not in _ablate:
+        def _kick_small(cols):
+            ux0, uy0, uz0, g0 = cols
+            ux1 = ux0.at[tgt].add(du_j[:, 0].astype(ux0.dtype),
+                                  mode="drop")
+            uy1 = uy0.at[tgt].add(du_j[:, 1].astype(uy0.dtype),
+                                  mode="drop")
+            uz1 = uz0.at[tgt].add(du_j[:, 2].astype(uz0.dtype),
+                                  mode="drop")
+            # gamma refresh at the kicked rows only; duplicate targets
+            # resolve to the same value (recomputed from post-add u)
+            gx, gy, gz = ux1[tgt_c], uy1[tgt_c], uz1[tgt_c]
+            gnew = jnp.sqrt(1.0 + gx * gx + gy * gy + gz * gz)
+            g1 = g0.at[tgt].set(gnew.astype(g0.dtype), mode="drop")
+            return ux1, uy1, uz1, g1
+
+        def _kick_full(cols):
+            ux0, uy0, uz0, g0 = cols
+            ev_e = order[ev_idx]
+            w_e_ev = e.weight[ev_e]
+            scale_abs = ph_w_w / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
+            du = jnp.where(
+                absorbed[:, None], scale_abs[:, None] * ph_u_w,
+                jnp.where(stimulated[:, None], -ph_u_w, 0.0),
+            )
+            ux1 = ux0.at[ev_e].add(du[:, 0].astype(ux0.dtype))
+            uy1 = uy0.at[ev_e].add(du[:, 1].astype(uy0.dtype))
+            uz1 = uz0.at[ev_e].add(du[:, 2].astype(uz0.dtype))
+            g1 = jnp.sqrt(1.0 + ux1**2 + uy1**2 + uz1**2).astype(g0.dtype)
+            return ux1, uy1, uz1, g1
+
+        ux_n, uy_n, uz_n, g_n = lax.cond(
+            n_ev <= EVC, _kick_small, _kick_full,
+            (e.ux, e.uy, e.uz, e.gamma),
+        )
+        e = dataclasses.replace(e, ux=ux_n, uy=uy_n, uz=uz_n, gamma=g_n)
 
     # --- photon bookkeeping -------------------------------------------
     if compact:
@@ -645,85 +740,64 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         )
     else:
         absorbed_full = absorbed
-    ph = dataclasses.replace(
-        ph,
-        tau_abs=full_tau_abs,
-        tau_st=full_tau_st,
-        alive=ph.alive & ~absorbed_full,
-        weight=jnp.where(absorbed_full, 0.0, ph.weight),
-        ux=jnp.where(absorbed_full, 0.0, ph.ux),
-        uy=jnp.where(absorbed_full, 0.0, ph.uy),
-        uz=jnp.where(absorbed_full, 0.0, ph.uz),
-        cell=jnp.where(absorbed_full, 0, ph.cell),
-    )
+    if "book" not in _ablate:
+        ph = dataclasses.replace(
+            ph,
+            tau_abs=full_tau_abs,
+            tau_st=full_tau_st,
+            alive=ph.alive & ~absorbed_full,
+            weight=jnp.where(absorbed_full, 0.0, ph.weight),
+            ux=jnp.where(absorbed_full, 0.0, ph.ux),
+            uy=jnp.where(absorbed_full, 0.0, ph.uy),
+            uz=jnp.where(absorbed_full, 0.0, ph.uz),
+            cell=jnp.where(absorbed_full, 0, ph.cell),
+        )
 
-    # stimulated copies: same momentum, electron's weight, fresh depths
-    # (built at working length — the insert scatter then carries A rows,
-    # not the whole photon buffer).  Momentum/energy columns come from
-    # the pre-kill working gathers; position/pol columns are gathered at
-    # the working rows (absorbed rows were just zeroed in `ph`, but an
-    # absorbed row is never stimulated, so the gathered values only
-    # matter where stim is set — and those rows are untouched).
+    # stimulated copies in event space: same momentum, electron's
+    # weight, fresh depths.  The seed columns are EVC-row gathers and
+    # the insert scatters at most EVC rows into dead slots (the old
+    # working-length formulation staged the ENTIRE photon buffer
+    # through insert() every step).  An absorbed row is never
+    # stimulated, so the post-kill gathers only matter where stim_j is
+    # set — and those rows are untouched.  Stimulated events beyond
+    # EVC per step are dropped AND counted (the reference appends all,
+    # interactions.rs:311-317; capacity overflow here is surfaced like
+    # every other buffer bound, never silent).
     if not opt.stimulated_emission:
         # statically off (the no_stimulated_emission feature): no event
         # can be kind 2, so skip the copy construction + insert outright
         overflow = jnp.zeros((), jnp.int32)
     else:
-        nw_len = stimulated.shape[0]
         ks = jax.random.split(jax.random.fold_in(key, 2_000_003), 2)
-        if compact:
-            # one (A, 14) row gather for the position/pol columns
-            _bstk = jnp.concatenate(
-                [
-                    jnp.stack(
-                        [
-                            ph.cell.astype(dtype),
-                            ph.x.astype(dtype),
-                            ph.prev_x.astype(dtype),
-                            ph.y.astype(dtype),
-                            ph.z.astype(dtype),
-                            ph.birth_time.astype(dtype),
-                        ],
-                        axis=1,
-                    ),
-                    ph.pol.astype(dtype),
-                    ph.basis.astype(dtype),
-                ],
-                axis=1,
-            )
-            _brows = _bstk[wi]
-            b_cell = _brows[:, 0].astype(ph.cell.dtype)
-            b_x, b_px = _brows[:, 1], _brows[:, 2]
-            b_y, b_z = _brows[:, 3], _brows[:, 4]
-            b_pol = _brows[:, 6:10]
-            b_basis = _brows[:, 10:16]
-        else:
-            b_cell, b_x, b_px = ph.cell, ph.x, ph.prev_x
-            b_y, b_z = ph.y, ph.z
-            b_pol, b_basis = ph.pol, ph.basis
+        src = wi[j] if compact else j    # photon-buffer row of the seed
+        gb = lambda a: a[src]
         buf = ParticleState(
-            cell=b_cell,
-            x=b_x,
-            prev_x=b_px,
-            y=b_y,
-            z=b_z,
-            weight=w_e_ev.astype(dtype),
-            ux=ph_u_w[:, 0].astype(dtype),
-            uy=ph_u_w[:, 1].astype(dtype),
-            uz=ph_u_w[:, 2].astype(dtype),
-            gamma=w_k4[:, 0].astype(dtype),
-            chi=w_chi.astype(dtype),
+            cell=gb(ph.cell),
+            x=gb(ph.x),
+            prev_x=gb(ph.prev_x),
+            y=gb(ph.y),
+            z=gb(ph.z),
+            weight=w_e_j.astype(dtype),
+            ux=k_u_j[:, 0].astype(dtype),
+            uy=k_u_j[:, 1].astype(dtype),
+            uz=k_u_j[:, 2].astype(dtype),
+            gamma=w_k4[j, 0].astype(dtype),
+            chi=w_chi[j].astype(dtype),
             tau=None,
-            tau_abs=jax.random.exponential(ks[0], (nw_len,), dtype),
-            tau_st=jax.random.exponential(ks[1], (nw_len,), dtype),
+            tau_abs=jax.random.exponential(ks[0], (EVC,), dtype),
+            tau_st=jax.random.exponential(ks[1], (EVC,), dtype),
             work=None,
-            birth_time=jnp.full(nw_len, t, dtype),
-            alive=stimulated,
+            birth_time=jnp.full(EVC, t, dtype),
+            alive=stim_j,
             # stimulated copy inherits the seed photon's polarization
-            pol=b_pol,
-            basis=b_basis,
+            pol=gb(ph.pol),
+            basis=gb(ph.basis),
         )
-        ph, overflow = insert(ph, buf, stimulated)
+        if "insert" in _ablate:
+            overflow = jnp.zeros((), jnp.int32)
+        else:
+            ph, overflow = insert(ph, buf, stim_j)
+            overflow = overflow + jnp.sum(stimulated) - jnp.sum(stim_j)
     out_species = {**species, "electron": e, "photon": ph}
     deferred = overflow_pairs + aovf
     if events is not None:

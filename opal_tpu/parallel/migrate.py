@@ -620,7 +620,13 @@ def insert(state: ParticleState, buf: ParticleState, valid):
     dest = jnp.where(ok, dest, n)
     overflow = jnp.sum(valid) - jnp.sum(ok)
 
-    if m <= 4096:
+    if m <= 65536:
+        # per-column scatters: ~19 small scatters sized by the ENTRY
+        # count.  The staged row-batch below touches the whole buffer
+        # (two full-state layout passes) regardless of m — measured
+        # ~99 ms/step at a 2.6M-row photon buffer on v5e — so it only
+        # pays once the entry count is a sizable fraction of the
+        # buffer.
         def put(path, a, b):
             if a is None:
                 return None

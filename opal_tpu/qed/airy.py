@@ -119,14 +119,19 @@ def airy_ai(x):
     taylor = f + x_t * g
 
     # Quadrature branches: a(x) * I(s) with I via Clenshaw in log s.
+    # s, log s and the prefactor are branch-independent for any x
+    # inside a branch's range, so the sqrt/log/exp transcendentals run
+    # ONCE over the clipped quadrature domain instead of once per
+    # branch (the absorption walk evaluates this on (photons, B)
+    # tensors twice per pair every step; 9 transcendentals -> 3).
+    x_q = jnp.clip(x, 1.0, 50.0)
+    s_q = 2.0 * x_q * jnp.sqrt(x_q) / 3.0
+    ls_q = jnp.log(s_q)
+    pref_q = _SCALE * jnp.exp(-s_q - ls_q / 6.0)
     value = taylor
     for x_lo, x_hi, coef, a, b in _BRANCHES:
-        x_c = jnp.clip(x, x_lo, x_hi)
-        s = 2.0 * x_c * jnp.sqrt(x_c) / 3.0
-        ls = jnp.log(s)
-        pref = _SCALE * jnp.exp(-s - ls / 6.0)
-        u = 2.0 * (ls - a) / (b - a) - 1.0
-        value = jnp.where(x < x_lo, value, pref * _clenshaw(u, coef))
+        u = 2.0 * (ls_q - a) / (b - a) - 1.0
+        value = jnp.where(x < x_lo, value, pref_q * _clenshaw(u, coef))
 
     valid = (x >= 0.0) & (x < 50.0)
     return jnp.where(valid, value, 0.0), valid

@@ -76,3 +76,36 @@ def photon_absorption(k, p, chi_gamma, chi_e):
 def stimulated_emission(k, p, chi_gamma, chi_e):
     """Scaled stimulated-emission cross section, same convention."""
     return _scaled_cross_section(k, p, chi_gamma, chi_e, -1)
+
+
+def pair_cross_sections(k, p, chi_gamma, chi_e):
+    """Both scaled cross sections for one pair, sharing the
+    kinematic invariants (k.p, the k0 p0 positivity form and the
+    common denominator guards) between them — the absorption walk
+    evaluates both on every (photon, candidate) pair per step, and
+    only the chi_e +- chi_gamma dependent factors (incl. the Airy
+    argument) differ.  Returns ``(sigma_abs, sigma_st)``; each is 0
+    where its branch is invalid (same semantics as the separate
+    functions up to float reassociation)."""
+    k0, kx, ky, kz = k[..., 0], k[..., 1], k[..., 2], k[..., 3]
+    p0, px, py, pz = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    tiny = _tiny(jnp.asarray(k0).dtype)
+    k_p = k0 * p0 - kx * px - ky * py - kz * pz
+    zbar_z = 2.0 * p0 * k_p / jnp.maximum(k0, tiny)
+    chig_safe = jnp.maximum(chi_gamma, tiny)
+    twoz_chi = 2.0 * chi_e * k_p / chig_safe  # zbar = z * this
+    inv_k0p0 = _PREF * chi_e / jnp.maximum(chi_gamma * k0 * p0, tiny)
+
+    out = []
+    for sign in (1.0, -1.0):
+        chi_sum = chi_e + sign * chi_gamma
+        denom = jnp.maximum(chi_e * chi_sum, tiny)
+        g = 0.5 + 0.25 * chi_gamma**2 / denom
+        z = (chig_safe / denom) ** (2.0 / 3.0)
+        ai, ai_valid = airy_ai(z * twoz_chi)
+        sigma = z * (4.0 * g * zbar_z - 1.0) * ai * inv_k0p0
+        valid = (chi_e > 0.0) & (chi_gamma > 0.0) & ai_valid
+        if sign < 0:
+            valid = valid & (chi_gamma < chi_e) & (k0 < p0)
+        out.append(jnp.where(valid, sigma, 0.0))
+    return out[0], out[1]

@@ -114,8 +114,10 @@ class SimOptions:
     absorption_candidates: int = 64
     # candidates examined per sequential pass of the absorption walk:
     # each pass is vectorized over (photons, block); only ceil(K/block)
-    # passes run serially (kernel-launch count is the real cost)
-    absorption_block: int = 32
+    # passes run serially.  64 (one pass at the default K) measured
+    # -25% absorption time vs 32 on v5e (r3: 228 -> 172 ms at
+    # 2.1M/655k) — fewer pass launches and gather rounds
+    absorption_block: int = 64
     # active-set compaction of the absorption walk: 0 = walk the whole
     # photon buffer (exact reference cadence); > 0 = gather at most
     # this many active-with-cell-mates photons per step (excess is
@@ -129,6 +131,15 @@ class SimOptions:
     # emitters per step (excess keeps tau < 0 and emits next step,
     # counted as overflow).
     emission_active_capacity: int = 0
+    # photon-buffer insert bound per emission step: kept photons are
+    # compacted to at most this many rows before the slot scatter, so
+    # the insert is sized by the real emission count instead of the
+    # sampler's active capacity (whose full-buffer staging measured
+    # ~99 ms/step at 2.6M rows on v5e).  -1 = auto
+    # (max(16384, active/8)); 0 = unbounded.  Excess photons are
+    # dropped AND counted (the emitting electron already recoiled) —
+    # the same surfaced-capacity idiom as every other buffer here.
+    emission_insert_capacity: int = -1
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)
@@ -233,6 +244,10 @@ class SimOptions:
     # (misfit rows are then neither pushed nor deposited — wrong
     # physics; used by tools/phase_bench.py to attribute step time)
     debug_skip_misfit: bool = False
+    # debug/profiling ONLY: comma-separated absorb() sections to skip
+    # ("walk", "kicks", "insert", "scatter", "book") — wrong physics;
+    # used by tools/absorb_micro.py to attribute the absorption pass
+    debug_absorb_ablate: str = ""
 
 
 class Simulation:
