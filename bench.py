@@ -197,10 +197,12 @@ def main(argv=None):
     parser.add_argument("--fused-block", type=int, default=0,
                         help="particles per kernel grid step (0 = auto: "
                              "4096, or 2048 for --qed)")
-    parser.add_argument("--fused-subblocks", type=int, default=1,
+    parser.add_argument("--fused-subblocks", type=int, default=0,
                         help="logical blocks per kernel grid program "
                              "(amortizes per-program overhead without "
-                             "widening the window)")
+                             "widening the window; 0 = auto: ~32k "
+                             "rows/program, the r3-measured v5e "
+                             "optimum — 8k for --qed)")
     parser.add_argument("--fused-resort", type=int, default=0,
                         help="maintenance-sort cadence (steps): the kernel "
                              "re-anchors blocks every step, so sorts only "
@@ -208,8 +210,13 @@ def main(argv=None):
                              "0 = auto: 256, or 64 for --qed (the beam "
                              "marches ~1 cell/step, so the edge-migration "
                              "window grows with the cadence)")
-    parser.add_argument("--misfit-capacity", type=int, default=512,
-                        help="compacted misfit-fallback rows per step")
+    parser.add_argument("--misfit-capacity", type=int, default=256,
+                        help="compacted misfit-fallback rows per step "
+                             "(the fallback chain cost scales with "
+                             "this; the bench deck's true peak misfit "
+                             "load measured in (64, 128] per step — 64 "
+                             "voided with losses, 128 ran clean — so "
+                             "256 keeps 2x margin at ~1% cost)")
     parser.add_argument("--migrate-every", type=int, default=3,
                         help="migration exchange cadence (<= 3 with the "
                              "4-cell halo)")
@@ -299,11 +306,18 @@ def main(argv=None):
     if not args.fused_resort:
         args.fused_resort = 64 if args.qed else 256
     if not args.fused_block:
-        # 8192 x W=8 measured 1.165e9 pushes/s/chip on v5e (2026-08-20,
-        # r2h: +13.6% over 4096 x W=16) — fewer grid programs at the
-        # narrowest window.  The QED kernel variant OOMs scoped VMEM
-        # above 2048, so --qed keeps 2048.
+        # 8192 with subblocks 4 (~32k rows/program) measured 1.105e9
+        # pushes/s/chip on v5e (r3 capture) at the honest W=16 window.
+        # The QED kernel variant OOMs scoped VMEM above 2048, so --qed
+        # keeps 2048.
         args.fused_block = 2048 if args.qed else 8192
+    if not args.fused_subblocks:
+        # ~131k rows/program measured fastest non-QED on v5e (r3 sweep:
+        # sub16 at blk8192 beat sub4/sub8 at every misfit capacity);
+        # QED kernel variants carry more VMEM per block -> ~8k
+        args.fused_subblocks = max(
+            1, (8192 if args.qed else 131072) // args.fused_block
+        )
     nx = args.nx - args.nx % ndev
     npc = max(1, int(args.particles) // nx)
     n_particles = nx * npc

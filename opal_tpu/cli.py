@@ -59,9 +59,14 @@ def fused_auto_sizing(span_gap: int, w_max: int, resort: int,
     (unless the user pinned it).  Returns ``(window, resort)``."""
     dcells = lambda r: int(np.ceil(0.95 * v_spread * r))
     if not r_pinned:
-        while (
+        # shrink the sort cadence while (a) the window would not fit
+        # the device field table, or (b) the dispersion term dominates
+        # the window (> 2x the span+stencil part): the kernel's gather
+        # cost is ~22*W VPU ops per particle, so for fast decks
+        # sorting more often is cheaper than a dispersion-wide window
+        while resort > 8 and (
             _round_up(span_gap + 6 + dcells(resort), 8) > w_max
-            and resort > 8
+            or dcells(resort) > 2 * (span_gap + 6)
         ):
             resort //= 2
     auto_w = _round_up(span_gap + 6 + dcells(resort), 8)
@@ -272,6 +277,14 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             and _round_up(est, fused_block) > est * 1.25
         ):
             fused_block //= 2
+        # cap the block so a sorted block spans <= ~32 cells: at low
+        # npc the span is blk/npc, and the window must cover it — the
+        # r3 hole_boring capture at npc=25 ran blk=8192 blocks
+        # spanning 328 cells, forcing a 300+-cell window (or, as
+        # shipped, massive misfit losses).  Smaller blocks cost
+        # per-program overhead, compensated by fused_subblocks below.
+        while fused_block > 256 and -(-fused_block // epc_for_w) > 32:
+            fused_block //= 2
     # Window auto-sizing is DEFERRED until after species
     # initialization: the sustainable window is the block's sorted cell
     # span PLUS the velocity dispersion the block accumulates between
@@ -450,6 +463,13 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         if _al.any():
             _vx = np.asarray(_st.ux)[_al] / np.asarray(_st.gamma)[_al]
             v_spread = max(v_spread, float(_vx.max() - _vx.min()))
+    if left_bdy == "laser":
+        # a laser deck heats its particles to v ~ c regardless of the
+        # initial momenta (the r3 hole_boring capture lost 6M ion
+        # updates to misfit-fallback overflow when the cold-start
+        # estimate undersized the window): size for the CFL worst case
+        # and let fused_auto_sizing trade sort cadence for window width
+        v_spread = 1.9
     auto_w, fused_resort_every = fused_auto_sizing(
         span_gap, w_max, fused_resort_every, v_spread,
         r_pinned=r_pinned or not fused_pusher,
@@ -466,8 +486,12 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # outside their block window (heating past the dispersion
     # estimate, fresh migration arrivals).  Scales with the particle
     # population (ADVICE r2: a fixed 1024 saturates on large decks);
-    # overflow beyond it is counted, never silent.
-    auto_misfit = _round_up(max(1024, sum(capacities.values()) // 64))
+    # laser decks get a larger floor (violent heating phases).
+    # Overflow beyond it is counted, never silent.
+    _mis_div = 16 if left_bdy == "laser" else 64
+    auto_misfit = _round_up(
+        max(1024, sum(capacities.values()) // _mis_div)
+    )
     fused_misfit_capacity = int(
         tpu_opt("fused_misfit_capacity", auto_misfit)
     )
@@ -504,7 +528,16 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         packed_fused=bool(tpu_opt("packed_fused", 0)),
         fused_block=fused_block,
         fused_window=fused_window,
-        fused_subblocks=int(tpu_opt("fused_subblocks", 1)),
+        # several logical blocks per kernel grid program amortize the
+        # per-program overhead: ~131k rows/program measured fastest on
+        # v5e (r3 sweeps: blk8192 x subblocks 16 = +6% over subblocks
+        # 1); QED kernel variants carry more VMEM per block, so QED
+        # decks target 8k.  The driver degrades to the largest divisor
+        # of the block count when this does not divide it.
+        fused_subblocks=int(tpu_opt(
+            "fused_subblocks",
+            max(1, (8192 if qed_deck else 131072) // fused_block),
+        )),
         fused_resort_every=fused_resort_every,
         fused_misfit_capacity=fused_misfit_capacity,
         migration_every=migration_every,
