@@ -551,8 +551,13 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False):
         event = k_ev < B
         both = event & (k_abs == k_st)
 
+        # column fetch at the event index via a one-hot masked sum:
+        # exactly one column fires per row, fuses into the (nw, B)
+        # elementwise pipeline — take_along_axis lowers to a per-row
+        # gather, latency-bound at walk length (4 of them per pass)
         kc = jnp.clip(k_ev, 0, B - 1)[:, None]
-        take = lambda m: jnp.take_along_axis(m, kc, axis=1)[:, 0]
+        oh = jnp.arange(B, dtype=jnp.int32)[None, :] == kc
+        take = lambda m: jnp.sum(jnp.where(oh, m, 0.0), axis=1)
         pa_k, ps_k = take(p_abs), take(p_st)
         r = jax.random.uniform(jax.random.fold_in(key, bi), (nw,), dtype)
         choose_abs = r < pa_k / jnp.maximum(pa_k + ps_k, _tiny(pa_k.dtype))

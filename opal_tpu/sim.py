@@ -114,10 +114,11 @@ class SimOptions:
     absorption_candidates: int = 64
     # candidates examined per sequential pass of the absorption walk:
     # each pass is vectorized over (photons, block); only ceil(K/block)
-    # passes run serially.  64 (one pass at the default K) measured
-    # -25% absorption time vs 32 on v5e (r3: 228 -> 172 ms at
-    # 2.1M/655k) — fewer pass launches and gather rounds
-    absorption_block: int = 64
+    # passes run serially.  With the one-hot event-column fetch, 32
+    # measured fractionally faster than one 64-wide pass on v5e (r3:
+    # 112.5 vs 115.3 ms at 2.1M/655k; before it, 64 won by 25% —
+    # take_along_axis gathers dominated per-pass cost)
+    absorption_block: int = 32
     # active-set compaction of the absorption walk: 0 = walk the whole
     # photon buffer (exact reference cadence); > 0 = gather at most
     # this many active-with-cell-mates photons per step (excess is
