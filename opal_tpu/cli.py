@@ -272,8 +272,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                 est = -(-est // mesh_devices)
         except ConfigError:
             est = 0
+        # Mosaic requires >= 8 sublane rows per kernel block: the
+        # hardware floor is fused_block = 1024 (8 x 128 lanes); the
+        # interpret-mode tests may go lower, but build() never does.
         while (
-            est and fused_block > 128
+            est and fused_block > 1024
             and _round_up(est, fused_block) > est * 1.25
         ):
             fused_block //= 2
@@ -283,7 +286,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         # spanning 328 cells, forcing a 300+-cell window (or, as
         # shipped, massive misfit losses).  Smaller blocks cost
         # per-program overhead, compensated by fused_subblocks below.
-        while fused_block > 256 and -(-fused_block // epc_for_w) > 32:
+        while fused_block > 1024 and -(-fused_block // epc_for_w) > 32:
             fused_block //= 2
     # Window auto-sizing is DEFERRED until after species
     # initialization: the sustainable window is the block's sorted cell
@@ -336,8 +339,11 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
             if fused_pusher and cap >= fused_block:
                 # fused kernel needs capacity % block == 0; smaller
                 # species stay un-padded (the kernel is inapplicable
-                # and the unfused ops serve them)
-                cap = _round_up(cap, fused_block)
+                # and the unfused ops serve them).  Big decks round to
+                # 4 blocks so the block count has small divisors (a
+                # prime count forces subblocks = 1).
+                mult = fused_block * (4 if cap >= 64 * fused_block else 1)
+                cap = _round_up(cap, mult)
         return (
             initialize(
                 sp, geom, npc_, dens, iux, iuy, iuz, dt, cap, seed=seed_,

@@ -417,6 +417,11 @@ class Simulation:
             and self.specs[name].kind in ("electron", "ion")
             and st.x.dtype == jnp.float32
             and st.x.shape[0] % opt.fused_block == 0
+            # Mosaic requires the kernel block's sublane dim divisible
+            # by 8: blocks under 1024 rows only lower in interpret
+            # mode (the r3 hole_boring rerun crashed at blk=512 with
+            # subblocks degraded to 1 by a prime block count)
+            and (opt.fused_block >= 1024 or self._interpret)
             and n_rows * 96 <= 8 * 2**20  # EB + out slabs in VMEM
             # window read/write (base-2 .. base+W+2) must fit the table
             and opt.fused_window + 4 <= n_rows
