@@ -210,13 +210,12 @@ def main(argv=None):
                              "0 = auto: 256, or 64 for --qed (the beam "
                              "marches ~1 cell/step, so the edge-migration "
                              "window grows with the cadence)")
-    parser.add_argument("--misfit-capacity", type=int, default=256,
+    parser.add_argument("--misfit-capacity", type=int, default=0,
                         help="compacted misfit-fallback rows per step "
-                             "(the fallback chain cost scales with "
-                             "this; the bench deck's true peak misfit "
-                             "load measured in (64, 128] per step — 64 "
-                             "voided with losses, 128 ran clean — so "
-                             "256 keeps 2x margin at ~1% cost)")
+                             "(0 = auto: scales with particle count, "
+                             "floor 256 — the 8.4M deck's peak misfit "
+                             "load measured in (64, 128]/step, and the "
+                             "fallback chain cost scales with this)")
     parser.add_argument("--migrate-every", type=int, default=3,
                         help="migration exchange cadence (<= 3 with the "
                              "4-cell halo)")
@@ -311,6 +310,8 @@ def main(argv=None):
         # The QED kernel variant OOMs scoped VMEM above 2048, so --qed
         # keeps 2048.
         args.fused_block = 2048 if args.qed else 8192
+    if not args.misfit_capacity:
+        args.misfit_capacity = max(256, int(args.particles) // 32768)
     if not args.fused_subblocks:
         # ~131k rows/program measured fastest non-QED on v5e (r3 sweep:
         # sub16 at blk8192 beat sub4/sub8 at every misfit capacity);
@@ -355,7 +356,11 @@ def main(argv=None):
         # counters).
         migration_capacity=(
             -(-int(npc * args.migrate_every * 1.5 + 128) // 8) * 8
-            if args.qed else 512
+            if args.qed else
+            # non-QED leaver flux: npc * drift-speed cells/step per
+            # side x the exchange cadence (the fixed 512 of r2 voided
+            # the 48M capture with 164k migration losses)
+            -(-int(npc * args.migrate_every * 0.0095 * 1.5 + 384) // 8) * 8
         ),
         fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
