@@ -200,7 +200,7 @@ def main(argv=None):
     parser.add_argument("--fused-subblocks", type=int, default=0,
                         help="logical blocks per kernel grid program "
                              "(amortizes per-program overhead without "
-                             "widening the window; 0 = auto: ~32k "
+                             "widening the window; 0 = auto: ~131k "
                              "rows/program, the r3-measured v5e "
                              "optimum — 8k for --qed)")
     parser.add_argument("--fused-resort", type=int, default=0,
@@ -305,8 +305,8 @@ def main(argv=None):
     if not args.fused_resort:
         args.fused_resort = 64 if args.qed else 256
     if not args.fused_block:
-        # 8192 with subblocks 4 (~32k rows/program) measured 1.105e9
-        # pushes/s/chip on v5e (r3 capture) at the honest W=16 window.
+        # 8192 with subblocks 16 (~131k rows/program) measured 1.171e9
+        # pushes/s/chip on v5e (r3 sweep) at the honest W=16 window.
         # The QED kernel variant OOMs scoped VMEM above 2048, so --qed
         # keeps 2048.
         args.fused_block = 2048 if args.qed else 8192

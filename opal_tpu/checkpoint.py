@@ -6,8 +6,10 @@ minimal trivially-correct snapshot the survey recommends: every device
 array of the simulation state (fields, all species SoAs, RNG key,
 counters) plus the scalar clock, written as one ``.npz`` with a JSON
 manifest.  Particle cell indices and block layouts are relative to the
-device decomposition, so a snapshot must be resumed on the same device
-count (enforced via the manifest).
+device decomposition; resuming on a DIFFERENT device count or sharding
+mode is supported — the manifest records the saved decomposition and
+``load`` reshapes cell indices and re-partitions particle rows onto the
+new one (``_reshard_species`` below).
 
 Format: ``checkpoint.npz`` with keys ``E B J rho t step key`` plus
 ``{species}/{field}`` and ``counter/{species}``; ``manifest`` holds a

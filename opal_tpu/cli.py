@@ -808,14 +808,20 @@ def main(argv=None) -> int:
         # on multi-host meshes this is the process-local all-gather
         E_h, B_h, J_h, rho_h = host_view((E, B, J, rho))
         species_h = {k: host_view(v) for k, v in species.items()}
-        if rp.get("checkpoint") and rank0:
+        if rp.get("checkpoint"):
             from . import checkpoint
 
-            checkpoint.save(
-                output_dir, index, float(t), E_h, B_h, J_h, rho_h,
-                species_h, key, host_view(counters), n_devices=ndev,
-                n_loc=geom.n_loc, replicated=opt.replicate_fields,
-            )
+            # hoisted above the rank0 guard: counters are fully
+            # replicated today (host_view's all-gather short-circuits),
+            # but a device-sharded counter entered on rank 0 only
+            # would deadlock a multi-host run
+            counters_h = host_view(counters)
+            if rank0:
+                checkpoint.save(
+                    output_dir, index, float(t), E_h, B_h, J_h, rho_h,
+                    species_h, key, counters_h, n_devices=ndev,
+                    n_loc=geom.n_loc, replicated=opt.replicate_fields,
+                )
         if rank0:
             out.write_grid_data(output_dir, index, E_h, B_h, J_h, rho_h,
                                 geom)
@@ -867,8 +873,14 @@ def main(argv=None) -> int:
                 E, B, J, rho, species, float(t), sub, counters, steps_bt_output
             )
         E, B, J, rho, species, t, counters = res[:7]
-        if sim._event_log and rank0:
-            out.write_event_log(sys.stderr, host_view(res[7]), sim.options)
+        if sim._event_log:
+            # materialize on EVERY rank: the event ring is
+            # device-sharded, so host_view() runs a cross-process
+            # all-gather — entering it on rank 0 only would hang a
+            # multi-host run at the first output span
+            events_h = host_view(res[7])
+            if rank0:
+                out.write_event_log(sys.stderr, events_h, sim.options)
         from .sim import counter_total
 
         deferred = counter_total(counters.get("qed_deferred", 0))

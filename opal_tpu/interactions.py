@@ -57,8 +57,10 @@ def emit_radiation(sim, species, t, key):
     """Emission pass over the electron population; returns
     ``(species, lost, deferred)``: ``lost`` counts photons that found
     no free buffer slot on this device (real losses); ``deferred``
-    counts emitters beyond the active-set capacity — their tau stays
-    negative, so they emit on a later step (a delay, not a loss).
+    counts emitters beyond the active-set capacity OR the per-step
+    insert bound (``emission_insert_capacity``) — their tau stays
+    negative and their momentum is untouched, so they emit on a later
+    step (a delay, not a loss; the energy ledger is unaffected).
     ``sim`` supplies options/geometry (any object with ``.options``
     and ``.geom``)."""
     opt = sim.options
@@ -151,7 +153,46 @@ def emit_radiation(sim, species, t, key):
         / jnp.maximum(chi_w, _tiny(chi_w.dtype))
     )
 
+    # --- filters (interactions.rs:74-97) ------------------------------
+    # Computed BEFORE the recoil write-back so the insert-bound
+    # deferral below can exclude its emitters from the update.
+    k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _tiny(k_ph.dtype)))
+    keep = valid_w
+    if opt.photon_energy_min is not None:
+        keep = keep & (k0 * const.ELECTRON_MASS_MEV >= opt.photon_energy_min)
+    if opt.photon_angle_max is not None:
+        angle = jnp.arccos(jnp.clip(-k_ph[:, 0] / k0, -1.0, 1.0))
+        keep = keep & (angle <= opt.photon_angle_max)
+    if opt.max_formation_length is not None:
+        keep = keep & (formation_length < opt.max_formation_length)
+
+    # --- insert-bound deferral (SimOptions.emission_insert_capacity) --
+    # Kept photons are compacted to the insert bound so the buffer
+    # columns and the slot scatter carry the real per-step emission
+    # count, not the sampler's working length.  Keeps beyond the bound
+    # are DEFERRED, not dropped: their emitter keeps its negative tau
+    # and unmodified momentum and emits on a later step, so the cap is
+    # a delay and never an energy-ledger violation (the reference
+    # appends every photon, interactions.rs:105).
+    EIC = int(getattr(opt, "emission_insert_capacity", 0) or 0)
+    if EIC < 0:
+        EIC = max(16384, m // 8)
+    if 0 < EIC < m:
+        ins_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        defer_ins = keep & (ins_rank >= EIC)
+        keep = keep & ~defer_ins
+        n_defer = jnp.sum(defer_ins.astype(jnp.int32))
+        valid_apply = valid_w & ~defer_ins
+    else:
+        defer_ins = None
+        n_defer = jnp.zeros((), jnp.int32)
+        valid_apply = valid_w
+
     # --- electron update: tau reset + recoil (electron.rs:210-239) ----
+    # Filtered-out photons (min_energy/angle/formation) still recoil
+    # their emitter — the emission happened, the photon just isn't
+    # tracked (reference semantics, interactions.rs:74-97).  Only
+    # insert-bound-deferred emitters are excluded.
     tau_draw = jax.random.exponential(k4, shape, dtype)
     if opt.radiation_reaction:
         u_new = u_w - k_ph
@@ -176,7 +217,11 @@ def emit_radiation(sim, species, t, key):
             [u_new[:, 0], u_new[:, 1], u_new[:, 2], gamma_new,
              chi_new, tau_draw], axis=1
         ).astype(sdt)
-        stage = stage.at[etab].set(rows, mode="drop")
+        etab_eff = (
+            etab if defer_ins is None
+            else jnp.where(defer_ins, jnp.asarray(n, etab.dtype), etab)
+        )
+        stage = stage.at[etab_eff].set(rows, mode="drop")
         e = dataclasses.replace(
             e,
             ux=stage[:, 0].astype(e.ux.dtype),
@@ -187,7 +232,7 @@ def emit_radiation(sim, species, t, key):
             tau=stage[:, 5].astype(e.tau.dtype),
         )
     else:
-        sel = lambda new, old: jnp.where(valid_w, new, old).astype(old.dtype)
+        sel = lambda new, old: jnp.where(valid_apply, new, old).astype(old.dtype)
         e = dataclasses.replace(
             e,
             ux=sel(u_new[:, 0], e.ux),
@@ -198,25 +243,7 @@ def emit_radiation(sim, species, t, key):
             tau=sel(tau_draw, e.tau),
         )
 
-    # --- filters (interactions.rs:74-97) ------------------------------
-    k0 = jnp.sqrt(jnp.maximum(jnp.sum(k_ph * k_ph, axis=-1), _tiny(k_ph.dtype)))
-    keep = valid_w
-    if opt.photon_energy_min is not None:
-        keep = keep & (k0 * const.ELECTRON_MASS_MEV >= opt.photon_energy_min)
-    if opt.photon_angle_max is not None:
-        angle = jnp.arccos(jnp.clip(-k_ph[:, 0] / k0, -1.0, 1.0))
-        keep = keep & (angle <= opt.photon_angle_max)
-    if opt.max_formation_length is not None:
-        keep = keep & (formation_length < opt.max_formation_length)
-
     # --- photon construction (photon.rs:95-116, electron.rs:243-245) --
-    # Kept photons are compacted to the insert bound FIRST, so the
-    # buffer columns and the insert's slot scatter carry the real
-    # per-step emission count, not the sampler's working length
-    # (SimOptions.emission_insert_capacity).
-    EIC = int(getattr(opt, "emission_insert_capacity", 0) or 0)
-    if EIC < 0:
-        EIC = max(16384, m // 8)
     total_keep = jnp.sum(keep.astype(jnp.int32))
     if 0 < EIC < m:
         from .ops.fused import misfit_compact
@@ -261,10 +288,11 @@ def emit_radiation(sim, species, t, key):
         basis=jnp.concatenate([k_ph_i, k_ph_i], axis=1).astype(dtype),
     )
     ph, overflow = insert(ph, buf, keep_c)
-    # photons beyond the insert bound are dropped and counted (their
-    # emitters already recoiled — a loss, never silent)
+    # any residual mismatch between the kept set and the compacted set
+    # is a true loss (should be zero — the deferral above bounds the
+    # kept count at EIC); insert-bound deferrals are counted as delays
     overflow = overflow + total_keep - jnp.sum(keep_c.astype(jnp.int32))
-    return {**species, "electron": e, "photon": ph}, overflow, eovf
+    return {**species, "electron": e, "photon": ph}, overflow, eovf + n_defer
 
 
 def absorb(sim, species, t, key, axis_index=None, presorted=False):

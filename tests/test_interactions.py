@@ -453,3 +453,55 @@ def test_emission_active_capacity_overflow():
     skipped = np.setdiff1d(np.flatnonzero(tau < 0), walked)
     assert np.all(tau2[walked] > 0)
     np.testing.assert_array_equal(tau2[skipped], tau[skipped])
+
+
+@pytest.mark.parametrize("active_cap", [0, 128])
+def test_emission_insert_bound_defers_not_drops(active_cap):
+    """Emitters beyond ``emission_insert_capacity`` are DEFERRED: no
+    recoil, no tau reset, counted as delays — the energy ledger stays
+    closed (ADVICE r3: the old behavior recoiled then dropped the
+    photon)."""
+    n = 256
+    geom = GridGeometry(nx=64, dx=1e-6, xmin=0.0, n_devices=1)
+    sim = _fake_sim(
+        geom, photon_emission=True, emission_insert_capacity=8,
+        emission_active_capacity=active_cap,
+    )
+    rng = np.random.default_rng(3)
+    u = np.zeros((n, 3))
+    u[:, 0] = -1000.0 * (1 + 0.01 * rng.standard_normal(n))
+    gamma = np.sqrt(1 + np.sum(u * u, axis=-1))
+    tau = np.where(np.arange(n) % 4 == 0, -0.1, 5.0)  # 64 emitters
+    e = _state(
+        SpeciesSpec.electron(), n,
+        cell=rng.integers(0, geom.n_loc, n).astype(np.int32),
+        x=rng.random(n), weight=np.full(n, 1e10), u=u, gamma=gamma,
+        chi=np.full(n, 0.5), tau=tau, alive=np.ones(n, bool),
+    )
+    ph = _state(SpeciesSpec.photon(), 1024)
+    species, overflow, deferred = emit_radiation(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(1)
+    )
+    e2, ph2 = species["electron"], species["photon"]
+    assert int(overflow) == 0
+    assert int(np.asarray(ph2.alive).sum()) == 8
+    # active-set deferrals (when capped) + insert-bound deferrals
+    n_emit = 64 if active_cap == 0 else min(64, active_cap)
+    assert int(deferred) == (64 - n_emit) + (n_emit - 8)
+    # exactly the 8 inserted photons' emitters recoiled + reset tau;
+    # every other emitter is untouched (tau still negative, u intact)
+    tau2 = np.asarray(e2.tau)
+    emitters = np.flatnonzero(tau < 0)
+    recoiled = emitters[:8]
+    waiting = emitters[8:]
+    assert np.all(tau2[recoiled] > 0)
+    np.testing.assert_array_equal(tau2[waiting], tau[waiting])
+    np.testing.assert_array_equal(
+        np.asarray(e2.u)[waiting], np.asarray(e.u)[waiting]
+    )
+    # ledger: inserted photon momentum == total electron recoil
+    du = np.asarray(e.u) - np.asarray(e2.u)
+    total_k = np.asarray(
+        jnp.where(ph2.alive[:, None], ph2.u, 0.0)
+    ).sum(axis=0)
+    np.testing.assert_allclose(du.sum(axis=0), total_k, rtol=1e-12)
