@@ -598,6 +598,16 @@ def main(argv=None) -> int:
                         help="resume from checkpoint.npz in the output dir")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax.profiler trace of the run")
+    parser.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                        help="multi-process run: coordinator address for "
+                             "jax.distributed.initialize (the reference's "
+                             "mpirun analogue, main.rs:49). Launch one "
+                             "process per host with the same coordinator "
+                             "and consecutive --process-id values")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-process run: total process count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-process run: this process's rank")
     args = parser.parse_args(argv)
 
     import os
@@ -612,6 +622,22 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", env_platforms)
         except Exception:
             pass
+
+    if args.coordinator is not None:
+        # multi-process operation (MPI analogue): must run before any
+        # backend use so every process sees the global device set
+        if args.num_processes is None or args.process_id is None:
+            print(
+                "opal_tpu: --coordinator requires --num-processes and "
+                "--process-id",
+                file=sys.stderr,
+            )
+            return 1
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     if args.f32 and args.f64:
         print("opal_tpu: --f32 and --f64 are mutually exclusive",

@@ -46,14 +46,27 @@ def build(args, **opt_overrides):
     dx = 500.0
     dt = 0.95 * dx / const.SPEED_OF_LIGHT
     geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
-    # mirror bench.py's non-QED defaults (2026-08-19 v5e sweep) so the
-    # ladder attributes the SAME program the bench measures
+    # mirror bench.py's non-QED defaults (r3 adopted: blk8192 x sub16,
+    # misfit 256, dispersion-aware auto window) so the ladder
+    # attributes the SAME program the bench measures
     resort = 256
+    block = 8192
+    drift_u = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
+    gap = -(-block // max(1, npc))
+    disp = int(np.ceil(0.95 * 2.0 * drift_u * resort))
+    window = -(-(gap + 6 + disp) // 8) * 8
     opts = SimOptions(
-        dt=dt, migration_capacity=512, fused_pusher=True,
-        fused_window=-(-(4096 // max(1, npc) + 16) // 8) * 8,
-        fused_block=4096, fused_resort_every=resort,
-        migration_every=3, fused_misfit_capacity=512,
+        dt=dt,
+        migration_capacity=(
+            -(-int(npc * 3 * 0.0095 * 1.5 + 384) // 8) * 8
+        ),
+        fused_pusher=True,
+        fused_window=window,
+        fused_block=block, fused_resort_every=resort,
+        migration_every=3,
+        fused_misfit_capacity=max(256, int(args.particles) // 32768),
+        fused_subblocks=max(1, 131072 // block),
+        fused_lite=-1,
         migration_window=max(
             4096, -(-int(npc * (0.0095 * resort + 3)) // 8) * 8
         ),
@@ -62,7 +75,7 @@ def build(args, **opt_overrides):
     espec = SpeciesSpec.electron()
     sim = Simulation(geom, opts, {"electron": espec}, dtype=jnp.float32)
     drift = 2.5e-24 / (const.ELECTRON_MASS * const.SPEED_OF_LIGHT)
-    cap = -(-int(n_particles // ndev * 1.25) // 2048) * 2048
+    cap = -(-int(n_particles // ndev * 1.25) // 8192) * 8192
     state = initialize_device(
         espec, geom, sim.mesh, npc,
         density=lambda x: jnp.full_like(jnp.asarray(x), 20.0),
