@@ -319,7 +319,18 @@ def _kernel_block(spec: FusedSpec, r, c0_ref, blk, sl):
     # out-slab write).  Round 2 shipped [3, W-4] with a -4 re-anchor —
     # 4 cells of pure waste whose auto-window formula then broke
     # physics at the shipped defaults (VERDICT r2 weak #1).
-    fit = (rel >= 1) & (rel <= W - 3)
+    # Deposit REACH bound (r4): a fit row's folded taps must land in
+    # the [-HALO, n_loc + HALO) current slab, i.e. cell in
+    # [-HALO+2, n_loc+HALO-3] — beyond that fold_out_slab trims the
+    # tap into the PAD region and charge would vanish silently.  With
+    # migration deferred to the sort cadence (slow-drift decks,
+    # SimOptions.max_drift_cells_per_step) rows CAN roam that far; the
+    # fallback pushes them and counts their dropped taps as losses.
+    lo_row, hi_row = _reach_rows(spec)
+    fit = (
+        (rel >= 1) & (rel <= W - 3)
+        & (cell >= lo_row) & (cell <= hi_row)
+    )
     miss = (q != 0.0) & ~fit
     upd = fit & (q != 0.0)
 

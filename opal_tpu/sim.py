@@ -137,10 +137,20 @@ class SimOptions:
     # the insert is sized by the real emission count instead of the
     # sampler's active capacity (whose full-buffer staging measured
     # ~99 ms/step at 2.6M rows on v5e).  -1 = auto
-    # (max(16384, active/8)); 0 = unbounded.  Excess photons are
-    # dropped AND counted (the emitting electron already recoiled) —
-    # the same surfaced-capacity idiom as every other buffer here.
+    # (max(16384, active/8)); 0 = unbounded.  Emitters beyond the
+    # bound are DEFERRED (no recoil, tau stays negative, they emit on
+    # a later step) and counted — a delay, never an energy-ledger
+    # violation.
     emission_insert_capacity: int = -1
+    # absorption pairing without the per-step electron sort: between
+    # maintenance sorts the fused state is NEARLY sorted (rows move
+    # only at sorts/exchanges), so per-cell candidate BRACKETS from
+    # monotone envelopes + exact per-candidate cell masks replace the
+    # per-step payload sort (~36 ms/step at 2.1M on v5e).  Applies to
+    # the fused electron path only; the unfused/f64 path keeps the
+    # exact sort.  0 = per-step sort (round-3 behavior), 1 = bracketed
+    # (default).
+    absorption_bracketed: int = 1
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)
@@ -985,12 +995,12 @@ class Simulation:
                 }
             species = {**species, name: st}
 
-        # 3-4: QED interactions.  The fused ABSORPTION path re-sorts
-        # the electron species right after migration: ONE sort then
-        # serves both the absorption pass (whose cell-segment pairing
-        # needs sorted electrons and would otherwise pay its own full
-        # multi-operand sort every step) and the next step's kernel
-        # anchors (so fresh arrivals never accumulate as misfits).
+        # 3-4: QED interactions.  The fused ABSORPTION path pairs over
+        # the nearly-sorted state via monotone-envelope brackets
+        # (absorption_bracketed, default) — no per-step sort; with
+        # absorption_bracketed=0 it instead re-sorts the electron
+        # species right after migration (one sort serving both the
+        # pairing and the next step's kernel anchors).
         # Emission-only decks (colliding_beams physics) skip it:
         # emission samples per-electron with no pairing and only
         # changes momentum (recoil), never cell order, so anchors stay
@@ -998,20 +1008,27 @@ class Simulation:
         # non-QED decks — a full per-step payload sort (~36 ms at 2.1M
         # on v5e) for nothing.
         e_presorted = False
+        e_bracketed = False
         if (
             opt.photon_absorption
             and "electron" in self.specs
             and self._fused_applicable("electron", species["electron"])
         ):
-            st_e = sort_state(
-                species["electron"], geom.n_loc, keep_chi=True,
-                rowgather=opt.sort_rowgather,
-            )
-            species = {**species, "electron": st_e}
-            new_anchors["electron"] = F.block_anchors(
-                self._fused_spec("electron"), st_e.cell
-            )
-            e_presorted = True
+            if opt.absorption_bracketed:
+                # no per-step sort: the pairing brackets the nearly-
+                # sorted state (interactions.absorb bracketed mode);
+                # kernel amins keep the anchors exact
+                e_bracketed = True
+            else:
+                st_e = sort_state(
+                    species["electron"], geom.n_loc, keep_chi=True,
+                    rowgather=opt.sort_rowgather,
+                )
+                species = {**species, "electron": st_e}
+                new_anchors["electron"] = F.block_anchors(
+                    self._fused_spec("electron"), st_e.cell
+                )
+                e_presorted = True
         if opt.photon_absorption:
             from .interactions import absorb
 
@@ -1019,6 +1036,7 @@ class Simulation:
             res = absorb(
                 self, species, t, jax.random.fold_in(sub, ai),
                 axis_index=ai, presorted=e_presorted,
+                bracketed=e_bracketed,
             )
             if self._event_log:
                 species, ovf, dfr, (rec, want) = res

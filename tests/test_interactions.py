@@ -37,6 +37,119 @@ def _fake_sim(geom, **opts):
     )
 
 
+def test_bracket_envelopes():
+    """_blocked_cummax / _suffix_min against numpy, across blocks."""
+    from opal_tpu.interactions import _blocked_cummax, _suffix_min
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 50, 1000).astype(np.int32)
+    got_max = np.asarray(_blocked_cummax(jnp.asarray(v), block=64))
+    np.testing.assert_array_equal(got_max, np.maximum.accumulate(v))
+    got_min = np.asarray(_suffix_min(jnp.asarray(v), block=64))
+    np.testing.assert_array_equal(
+        got_min, np.minimum.accumulate(v[::-1])[::-1]
+    )
+
+
+def test_absorption_bracketed_matches_sorted_on_sorted_state():
+    """On an exactly-sorted state the brackets equal the segments and
+    the candidate order is identical, so bracketed == presorted
+    bitwise."""
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    rng = np.random.default_rng(9)
+    n_e, n_ph = 64, 128
+    gamma = 10.0
+    u_e = -math.sqrt(gamma**2 - 1)
+    cells_e = np.sort(rng.integers(0, geom.n_loc, n_e)).astype(np.int32)
+    e = _state(
+        SpeciesSpec.electron(), n_e,
+        cell=cells_e, weight=np.full(n_e, 2.0e10),
+        u=np.array([[u_e, 0, 0]] * n_e), gamma=np.full(n_e, gamma),
+        chi=np.full(n_e, 1.0), alive=np.ones(n_e, bool),
+    )
+    ph = _state(
+        SpeciesSpec.photon(), n_ph,
+        cell=rng.integers(0, geom.n_loc, n_ph).astype(np.int32),
+        weight=np.full(n_ph, 1.0e10),
+        u=np.array([[0.1, 0, 0]] * n_ph), gamma=np.full(n_ph, 0.1),
+        chi=np.full(n_ph, 2.0),
+        # half the photons get a forced event (tiny depth); the rest a
+        # realistic exponential draw
+        tau_abs=np.where(
+            np.arange(n_ph) % 2 == 0, 1e-30,
+            rng.exponential(size=n_ph) * 20.0,
+        ),
+        tau_st=np.full(n_ph, 1e30),
+        alive=np.ones(n_ph, bool),
+    )
+    sim = _fake_sim(
+        geom, photon_absorption=True, stimulated_emission=False
+    )
+    sp = {"electron": e, "photon": ph}
+    a_sp, a_ovf, a_dfr = absorb(
+        sim, sp, 0.0, jax.random.key(4), presorted=True
+    )
+    b_sp, b_ovf, b_dfr = absorb(
+        sim, sp, 0.0, jax.random.key(4), bracketed=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_sp["photon"].alive), np.asarray(b_sp["photon"].alive)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_sp["photon"].tau_abs),
+        np.asarray(b_sp["photon"].tau_abs),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_sp["electron"].u), np.asarray(b_sp["electron"].u)
+    )
+    assert int(a_ovf) == int(b_ovf) and int(a_dfr) == int(b_dfr)
+    assert int(np.sum(~np.asarray(b_sp["photon"].alive))) > 0
+
+
+def test_absorption_bracketed_no_cross_cell_leakage():
+    """Under local disorder the brackets include neighbour-cell rows;
+    the exact cell mask must keep pairing strictly same-cell."""
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    gamma = 10.0
+    u_e = -math.sqrt(gamma**2 - 1)
+    # disordered cells: cell-3 rows interleaved with cell-2 rows
+    cells_e = np.array([2, 3, 2, 3, 2, 2, 2, 2], np.int32)
+    e = _state(
+        SpeciesSpec.electron(), 8,
+        cell=cells_e, weight=np.full(8, 2.0e10),
+        u=np.array([[u_e, 0, 0]] * 8), gamma=np.full(8, gamma),
+        chi=np.full(8, 1.0), alive=np.ones(8, bool),
+    )
+    # photon 0: cell 3 (has mates at rows 1, 3) with a forced event;
+    # photon 1: cell 4 (bracket is empty) with a forced event that must
+    # NOT fire; photon 2: cell 5, same
+    ph = _state(
+        SpeciesSpec.photon(), 8,
+        cell=np.array([3, 4, 5, 0, 0, 0, 0, 0], np.int32),
+        weight=np.array([1.0e10] * 3 + [0] * 5),
+        u=np.array([[0.1, 0, 0]] * 8), gamma=np.full(8, 0.1),
+        chi=np.full(8, 2.0),
+        tau_abs=np.full(8, 1e-30), tau_st=np.full(8, 1e30),
+        alive=np.array([True] * 3 + [False] * 5),
+    )
+    sim = _fake_sim(
+        geom, photon_absorption=True, stimulated_emission=False
+    )
+    sp_out, ovf, dfr = absorb(
+        sim, sp := {"electron": e, "photon": ph}, 0.0, jax.random.key(0),
+        bracketed=True,
+    )
+    e2, ph2 = sp_out["electron"], sp_out["photon"]
+    alive2 = np.asarray(ph2.alive)
+    assert not alive2[0]          # absorbed by a cell-3 mate
+    assert alive2[1] and alive2[2]  # no mates -> no event
+    du = np.asarray(e2.u) - np.asarray(e.u)
+    moved = np.flatnonzero(np.abs(du).sum(axis=1) > 0)
+    assert len(moved) == 1 and cells_e[moved[0]] == 3
+    # the partner is the FIRST cell-3 row in array order (row 1)
+    assert moved[0] == 1
+
+
 @pytest.mark.physics
 @pytest.mark.parametrize("active_cap", [0, 128])
 def test_emission_momentum_conservation_and_insert(active_cap):
