@@ -216,9 +216,20 @@ def main(argv=None):
                              "floor 256 — the 8.4M deck's peak misfit "
                              "load measured in (64, 128]/step, and the "
                              "fallback chain cost scales with this)")
-    parser.add_argument("--migrate-every", type=int, default=3,
-                        help="migration exchange cadence (<= 3 with the "
-                             "4-cell halo)")
+    parser.add_argument("--migrate-every", type=int, default=0,
+                        help="migration exchange cadence in steps.  0 = "
+                             "auto: non-QED decks DEFER the exchange to "
+                             "the maintenance-sort cadence (the bench "
+                             "plasma drifts 0.0095 cells/step, so "
+                             "particles stay within the 2-cell deposit/"
+                             "gather reach for ~210 steps — "
+                             "max_drift_cells_per_step); QED beam decks "
+                             "keep 3 (CFL drift)")
+    parser.add_argument("--capacity-factor", type=float, default=1.25,
+                        help="particle-buffer slack over the initial "
+                             "population (1e8-row runs: 1.1 keeps the "
+                             "state + sort double-buffers inside 16 GB "
+                             "HBM)")
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
@@ -302,8 +313,22 @@ def main(argv=None):
         # measurement
         args.nx = max(1024, int(args.particles) // 128) if args.qed \
             else 1024
+    # non-QED drift bound: the two counter-streaming populations move
+    # 0.0095 cells/step under CFL (BENCH_DRIFT_U below) — the window,
+    # migration and deferred-exchange sizing all key on it
+    BENCH_DRIFT_CELLS = 0.0095
     if not args.fused_resort:
-        args.fused_resort = 64 if args.qed else 256
+        # 192 (not 256) when migration defers to the sort cadence: the
+        # 2-cell deposit/gather reach bounds drift*period at ceil <= 2
+        args.fused_resort = 64 if args.qed else (
+            256 if args.migrate_every else 192
+        )
+    if not args.migrate_every:
+        # deferred exchange: one migration per maintenance-sort period
+        # (r4: each M=3 exchange cost ~1.17 ms/step of the 7.4 ms bench
+        # step; deferred it amortizes to ~0.02).  QED beams march at
+        # CFL speed — keep the 3-step cadence there.
+        args.migrate_every = 3 if args.qed else args.fused_resort
     if not args.fused_block:
         # 8192 with subblocks 16 (~131k rows/program) measured 1.171e9
         # pushes/s/chip on v5e (r3 sweep) at the honest W=16 window.
@@ -331,7 +356,7 @@ def main(argv=None):
         dx = 1.0e-8
         dt = 0.95 * dx / const.SPEED_OF_LIGHT
         geom = GridGeometry(nx=nx, dx=dx, xmin=0.0, n_devices=ndev)
-    cap = int(n_particles // ndev * 1.25)
+    cap = int(n_particles // ndev * args.capacity_factor)
     if args.fused:  # fused kernel needs capacity % block == 0
         cap = -(-cap // args.fused_block) * args.fused_block
     # non-QED deck drift momentum (units of m_e c; v/c ~ u for u << 1)
@@ -389,6 +414,10 @@ def main(argv=None):
         fused_block=args.fused_block,
         fused_resort_every=args.fused_resort,
         migration_every=args.migrate_every,
+        # lets _cadences honour a deferred --migrate-every (the CFL
+        # default 0.95 caps M at 3 steps; the bench plasma's true
+        # bound is 0.0095 cells/step)
+        max_drift_cells_per_step=0.95 if args.qed else BENCH_DRIFT_CELLS,
         # the edge-exchange window must cover the leaver FRONT, which
         # marches npc * v rows/step through the (row-static) sorted
         # state between maintenance sorts: the bench plasma drifts

@@ -182,20 +182,33 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                     )
             except ConfigError:
                 pass
+        # absorption decks replicate too (r4): pairing runs over an
+        # all-gathered per-cell candidate table with owner-routed
+        # kicks (interactions.absorb replicated mode), so the
+        # reference's balanced-split behavior (grid/mod.rs:157-206)
+        # has no carve-out anymore.  The table must fit its memory
+        # guard after the gather — bounded by the same n_ext cap the
+        # fused kernel's VMEM field table already imposes.
         replicate = (
-            imb >= 1.5 and n_devices > 1 and not photon_absorption
+            imb >= 1.5 and n_devices > 1
             # the whole field table must fit VMEM for the fused kernel
             and geom.n_ext <= 80_000
         )
-        # absorption pairing needs spatially-local shards, so a
-        # strongly nonuniform absorption deck falls back to the domain
-        # decomposition — surfaced with its measured cost in main()
-        # (the reference's balanced split has no such carve-out,
-        # grid/mod.rs:157-206; VERDICT r2 weak #6)
-        replicate_blocked_by_absorption = (
-            imb >= 1.5 and n_devices > 1 and photon_absorption
-            and geom.n_ext <= 80_000
-        )
+        replicate_blocked_by_absorption = False
+        if replicate and photon_absorption:
+            # the gathered candidate table must fit its memory guard
+            # (interactions.CAND_TABLE_MAX_BYTES); beyond that the deck
+            # falls back to domain decomposition with the skew notice
+            from .interactions import CAND_TABLE_MAX_BYTES
+            from .grid import HALO as _H
+
+            _K = int(tpu_opt("absorption_candidates", 256))
+            _B = 32
+            _kl = -(-max(1, -(-_K // n_devices)) // _B) * _B
+            _bytes = (nx + 2 * _H) * _kl * 8 * n_devices * 4
+            if _bytes > CAND_TABLE_MAX_BYTES:
+                replicate = False
+                replicate_blocked_by_absorption = True
     else:
         replicate = bool(_rep_opt) and n_devices > 1
         replicate_blocked_by_absorption = False
@@ -778,11 +791,11 @@ def main(argv=None) -> int:
         )
         if rp.get("replicate_blocked_by_absorption"):
             print(
-                "[replicated-field balancing is unavailable with "
-                "photon_absorption (cell pairing needs spatially-local "
-                f"shards): expect up to {bi['imbalance']:.2f}x per-device "
-                "compute skew and idle devices on empty slabs; "
-                "tpu: replicate_fields: 1 is rejected for this deck]"
+                "[replicated-field balancing is unavailable for this "
+                "absorption deck: the all-gathered pairing table "
+                "exceeds its memory budget at this grid size — lower "
+                "tpu: absorption_candidates to re-enable; expect up to "
+                f"{bi['imbalance']:.2f}x per-device compute skew]"
             )
 
     E, B, J, rho = sim.init_fields()

@@ -319,7 +319,7 @@ def _suffix_min(v, block=65536):
 
 
 def absorb(sim, species, t, key, axis_index=None, presorted=False,
-           bracketed=False):
+           bracketed=False, replicated=False, axis_name="x"):
     """Photon absorption / stimulated emission pass
     (``interactions.rs:145-340``).
 
@@ -350,6 +350,17 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     n_e = e.alive.shape[0]
     n_ph = ph.alive.shape[0]
     K = min(opt.absorption_candidates, n_e)
+    # Replicated-field mode (grid/mod.rs:157-206 balanced-split
+    # analogue): particles are equal-count sharded with NO spatial
+    # locality, so a photon's cell-mates live on every device.  Each
+    # device contributes ceil(K / ndev) candidates per cell to an
+    # all-gathered global table; electron kicks are routed back to
+    # their owners as tiny event records.
+    ndev = int(sim.mesh.shape[axis_name]) if replicated else 1
+    if replicated and ndev > 1:
+        K = max(1, -(-K // ndev))
+    elif ndev <= 1:
+        replicated = False
     dtype = e.x.dtype
     # halo-aware pairing: with a migration cadence M > 1 particles roam
     # up to M-1 < HALO cells out of the local domain between exchanges;
@@ -438,6 +449,11 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     # photon buffer on v5e); only the has-cell-mates bit needs a
     # full-length gather, and it is one boolean column.
     seg_len = seg_end - seg_start
+    if replicated:
+        # pairing visibility must be GLOBAL: a photon with only remote
+        # cell-mates still walks (and defers on truncation) — one tiny
+        # (n_cells,) psum
+        seg_len = lax.psum(seg_len, axis_name)
     seg2 = jnp.stack([seg_start, seg_len], axis=1)  # (n_cells, 2)
 
     # --- photon skip conditions (interactions.rs:176-192) -------------
@@ -485,14 +501,26 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     # clipped-index garbage row can never produce a NaN that survives.
     B = max(1, min(opt.absorption_block, K))
     nb = -(-K // B)
+    # walk columns: [p4 | chi_e | w_e | ok] (+ local row index when
+    # replicated, for kick routing)
+    CC = 8 if replicated else 7
     # Memory guard (ADVICE r2): the table is a persistent
-    # (n_cells, ceil(K/B)*B, 7) array — ~1.9 GB at n_loc ~ 256k with
+    # (n_cells, ceil(K/B)*B, CC) array — ~1.9 GB at n_loc ~ 256k with
     # K = 256.  Above 256 MB fall back to the transient per-photon
     # block gather (photon-bounded, the pre-table formulation), which
-    # is slower per pass but never scales with the grid.
-    use_cell_table = n_cells * nb * B * 7 * (
+    # is slower per pass but never scales with the grid.  Replicated
+    # mode REQUIRES the table (the walk reads the all-gathered global
+    # copy), so its guard covers the gathered size.
+    use_cell_table = n_cells * nb * B * CC * ndev * (
         4 if dtype == jnp.float32 else 8
     ) <= CAND_TABLE_MAX_BYTES
+    if replicated and not use_cell_table:
+        raise ValueError(
+            "replicated absorption needs the per-cell candidate table "
+            f"to fit {CAND_TABLE_MAX_BYTES >> 20} MB after the "
+            f"all-gather (n_cells={n_cells}, K/device={K}, "
+            f"devices={ndev}): lower tpu: absorption_candidates"
+        )
     if use_cell_table:
         karr_k = jnp.arange(nb * B, dtype=jnp.int32)
         cand_idx = seg_start[:, None] + karr_k[None, :]  # (n_cells, nb*B)
@@ -503,15 +531,29 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             # disorder: mask them exactly (pairing stays strictly
             # same-cell, reference interactions.rs:198-229)
             cand_ok = cand_ok & (cand[..., 6] == cells[:, None].astype(dtype))
-        cand = jnp.concatenate(
-            [
-                cand[..., :5],
-                jnp.where(cand_ok, cand[..., 5], 0.0)[..., None],
-                cand_ok.astype(dtype)[..., None],
-            ],
-            axis=-1,
-        )
-        cand_blocks = cand.reshape(n_cells, nb, B * 7)
+        parts = [
+            cand[..., :5],
+            jnp.where(cand_ok, cand[..., 5], 0.0)[..., None],
+            cand_ok.astype(dtype)[..., None],
+        ]
+        if replicated:
+            # UNSORTED local row (order maps the sorted table position
+            # back to the buffer row the kick must land on)
+            parts.append(
+                order[jnp.clip(cand_idx, 0, n_e - 1)].astype(dtype)[..., None]
+            )
+        cand = jnp.concatenate(parts, axis=-1)
+        cand_blocks = cand.reshape(n_cells, nb, B * CC)
+        if replicated:
+            # global table: device-major block axis, so pass bi serves
+            # device bi // nb and the event's owner is recoverable
+            gathered = lax.all_gather(
+                cand_blocks, axis_name
+            )  # (ndev, n_cells, nb, B*CC)
+            cand_blocks = jnp.transpose(gathered, (1, 0, 2, 3)).reshape(
+                n_cells, ndev * nb, B * CC
+            )
+            nb = ndev * nb
 
     # Optional active-set compaction: the walk costs O(buffer capacity
     # x K) even when most photon slots are dead or have no electron
@@ -580,7 +622,9 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
         atab = None
         w_active = active
         w_start = seg_start[pcell]
-        w_end = seg_end[pcell]
+        # seg_len (global under `replicated`) rather than local
+        # seg_end: identical when not replicated
+        w_end = w_start + seg_len[pcell]
         w_cell = pcell
         w_k4, w_chi = k4_ph, ph.chi
         w_tau_abs0, w_tau_st0 = ph.tau_abs, ph.tau_st
@@ -590,7 +634,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     # overflow — photon-steps delayed), not the raw excess-pair count
     # (a pair count wraps an int32 within one block on dense decks)
     overflow_pairs = jnp.sum(
-        ((w_end - w_start > K) & w_active).astype(jnp.int32)
+        ((w_end - w_start > K * ndev) & w_active).astype(jnp.int32)
     )
 
     # Candidate walk, block-vectorized: each sequential pass examines a
@@ -602,13 +646,27 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     # rows come from the per-cell candidate table: ONE (nw,)-row
     # gather of the photon's packed cell block per pass.
 
+    # replicated mode carries extra per-event legs through the walk:
+    # the partner's owner device + local row (kick routing), its weight
+    # (kick scale), and — when the event log is on — its p4/chi for the
+    # record (the partner's columns are not locally gatherable)
+    want_events = (
+        opt.extra_absorption_output or opt.extra_stimulated_emission_output
+    )
+    extra_names = ()
+    if replicated:
+        extra_names = ("ev_dev", "ev_we")
+        if want_events:
+            extra_names += ("ev_g", "ev_ux", "ev_uy", "ev_uz", "ev_chie")
+    nb_loc = nb // ndev if replicated else nb
+
     def body(bi, carry):
-        tau_abs, tau_st, done, ev_kind, ev_idx = carry
+        tau_abs, tau_st, done, ev_kind, ev_idx, extras = carry
         if use_cell_table:
             blk = lax.dynamic_index_in_dim(
                 cand_blocks, bi, axis=1, keepdims=False
-            )  # (n_cells, B*7)
-            rows = blk[w_cell].reshape(nw, B, 7)
+            )  # (n_cells, B*CC)
+            rows = blk[w_cell].reshape(nw, B, CC)
             valid = (
                 (~done)[:, None] & w_active[:, None] & (rows[..., 6] > 0.5)
             )
@@ -687,13 +745,36 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
         new_st = jnp.where(stim_now, exp1[1], new_st)
 
         ev_kind = jnp.where(event, jnp.where(absorbed_now, 1, 2), ev_kind)
-        # sorted-electron index of the event column, reconstructed from
-        # the segment start (no (nw, B) index tensor materialized)
-        idx_ev = jnp.clip(
-            w_start + bi * B + jnp.clip(k_ev, 0, B - 1), 0, n_e - 1
-        )
-        ev_idx = jnp.where(event, idx_ev.astype(jnp.int32), ev_idx)
-        return (new_abs, new_st, done | event, ev_kind, ev_idx)
+        if replicated:
+            # the partner's LOCAL row rides column 7 of the gathered
+            # table; its owner is the pass's device stripe
+            row_ev = take(rows[..., 7]).astype(jnp.int32)
+            ev_idx = jnp.where(event, row_ev, ev_idx)
+            upd_ex = dict(
+                ev_dev=jnp.where(
+                    event, (bi // nb_loc).astype(jnp.int32),
+                    extras["ev_dev"],
+                ),
+                ev_we=jnp.where(event, take(w_e), extras["ev_we"]),
+            )
+            if want_events:
+                upd_ex.update(
+                    ev_g=jnp.where(event, take(p4[..., 0]), extras["ev_g"]),
+                    ev_ux=jnp.where(event, take(p4[..., 1]), extras["ev_ux"]),
+                    ev_uy=jnp.where(event, take(p4[..., 2]), extras["ev_uy"]),
+                    ev_uz=jnp.where(event, take(p4[..., 3]), extras["ev_uz"]),
+                    ev_chie=jnp.where(event, take(chi_e), extras["ev_chie"]),
+                )
+            extras = {**extras, **upd_ex}
+        else:
+            # sorted-electron index of the event column, reconstructed
+            # from the segment start (no (nw, B) index tensor
+            # materialized)
+            idx_ev = jnp.clip(
+                w_start + bi * B + jnp.clip(k_ev, 0, B - 1), 0, n_e - 1
+            )
+            ev_idx = jnp.where(event, idx_ev.astype(jnp.int32), ev_idx)
+        return (new_abs, new_st, done | event, ev_kind, ev_idx, extras)
 
     init = (
         w_tau_abs0,
@@ -701,11 +782,15 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
         jnp.zeros(nw, bool),
         jnp.zeros(nw, jnp.int32),
         jnp.zeros(nw, jnp.int32),
+        {
+            nm: jnp.zeros(nw, jnp.int32 if nm == "ev_dev" else dtype)
+            for nm in extra_names
+        },
     )
     if "walk" in _ablate:
-        tau_abs, tau_st, done, ev_kind, ev_idx = init
+        tau_abs, tau_st, done, ev_kind, ev_idx, ev_extras = init
     else:
-        tau_abs, tau_st, done, ev_kind, ev_idx = lax.fori_loop(
+        tau_abs, tau_st, done, ev_kind, ev_idx, ev_extras = lax.fori_loop(
             0, nb, body, init
         )
 
@@ -736,22 +821,32 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
 
     # --- optional per-event records (interactions.rs:267-289) ----------
     events = None
-    if opt.extra_absorption_output or opt.extra_stimulated_emission_output:
-        ev_e_rec = order[ev_idx]  # unsorted electron index of the partner
+    if want_events:
         want = jnp.zeros_like(absorbed)
         if opt.extra_absorption_output:
             want = want | absorbed
         if opt.extra_stimulated_emission_output:
             want = want | stimulated
-        ai = 0 if axis_index is None else axis_index
+        ai = 0 if (axis_index is None or replicated) else axis_index
         x_glob = geom.xmin + (
             ai * geom.n_loc + gp(ph.cell) - geom.interior_start
             + gp(ph.x)
         ) * geom.dx
-        p4_ev = jnp.stack(
-            [e.gamma[ev_e_rec], e.ux[ev_e_rec], e.uy[ev_e_rec],
-             e.uz[ev_e_rec]], axis=1
-        )
+        if replicated:
+            # the partner's columns rode the walk carry (it may live
+            # on another device)
+            p4_ev = jnp.stack(
+                [ev_extras["ev_g"], ev_extras["ev_ux"],
+                 ev_extras["ev_uy"], ev_extras["ev_uz"]], axis=1
+            )
+            chi_ev = ev_extras["ev_chie"]
+        else:
+            ev_e_rec = order[ev_idx]  # unsorted electron index
+            p4_ev = jnp.stack(
+                [e.gamma[ev_e_rec], e.ux[ev_e_rec], e.uy[ev_e_rec],
+                 e.uz[ev_e_rec]], axis=1
+            )
+            chi_ev = e.chi[ev_e_rec]
         nw_rec = want.shape[0]
         rec = jnp.concatenate(
             [
@@ -760,8 +855,8 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
                 gp(ph.birth_time)[:, None],
                 w_chi[:, None].astype(dtype),
                 w_k4.astype(dtype),
-                e.chi[ev_e_rec][:, None],
-                p4_ev,
+                chi_ev[:, None].astype(dtype),
+                p4_ev.astype(dtype),
                 ev_kind[:, None].astype(dtype),
             ],
             axis=1,
@@ -791,9 +886,16 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     j = jnp.clip(etab2, 0, nw_len - 1)
     abs_j = absorbed[j] & vj
     stim_j = stimulated[j] & vj
-    tgt = jnp.where(vj, order[jnp.clip(ev_idx[j], 0, n_e - 1)], n_e)
-    tgt_c = jnp.clip(tgt, 0, n_e - 1)
-    w_e_j = jnp.where(vj, e.weight[tgt_c], 1.0)
+    if replicated:
+        # the partner may be remote: row/weight rode the walk carry
+        tgt = jnp.where(vj, ev_idx[j], n_e)
+        tgt_c = jnp.clip(tgt, 0, n_e - 1)
+        w_e_j = jnp.where(vj, ev_extras["ev_we"][j], 1.0)
+        tgt_dev = jnp.where(vj, ev_extras["ev_dev"][j], -1)
+    else:
+        tgt = jnp.where(vj, order[jnp.clip(ev_idx[j], 0, n_e - 1)], n_e)
+        tgt_c = jnp.clip(tgt, 0, n_e - 1)
+        w_e_j = jnp.where(vj, e.weight[tgt_c], 1.0)
     k_u_j = ph_u_w[j]
     w_ph_j = ph_w_w[j]
     scale_abs_j = w_ph_j / jnp.maximum(w_e_j, _tiny(w_e_j.dtype))
@@ -804,7 +906,36 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
 
     # --- electron kicks (electron.rs:256-262, interactions.rs:322-334) -
     # absorbed: du = (w_ph / w_e) * k ; stimulated: du = -k
-    if "kicks" not in _ablate:
+    kick_lost = jnp.zeros((), jnp.int32)
+    if replicated and "kicks" not in _ablate:
+        # route kick records to their owners: all devices exchange the
+        # tiny (EVC, 6) tables and each applies the rows targeting
+        # itself.  Events beyond EVC would lose their electron kick
+        # (the photon side already fired) — counted as losses.
+        my = lax.axis_index(axis_name)
+        act = (abs_j | stim_j).astype(dtype)
+        recs = jnp.concatenate(
+            [
+                du_j.astype(dtype),
+                tgt_c.astype(dtype)[:, None],
+                tgt_dev.astype(dtype)[:, None],
+                act[:, None],
+            ],
+            axis=1,
+        )
+        flat = lax.all_gather(recs, axis_name).reshape(-1, 6)
+        mine = (flat[:, 4] == my.astype(dtype)) & (flat[:, 5] > 0.5)
+        rtgt = jnp.where(mine, flat[:, 3].astype(jnp.int32), n_e)
+        rtgt_c = jnp.clip(rtgt, 0, n_e - 1)
+        ux1 = e.ux.at[rtgt].add(flat[:, 0].astype(e.ux.dtype), mode="drop")
+        uy1 = e.uy.at[rtgt].add(flat[:, 1].astype(e.uy.dtype), mode="drop")
+        uz1 = e.uz.at[rtgt].add(flat[:, 2].astype(e.uz.dtype), mode="drop")
+        gx, gy, gz = ux1[rtgt_c], uy1[rtgt_c], uz1[rtgt_c]
+        gnew = jnp.sqrt(1.0 + gx * gx + gy * gy + gz * gz)
+        g1 = e.gamma.at[rtgt].set(gnew.astype(e.gamma.dtype), mode="drop")
+        e = dataclasses.replace(e, ux=ux1, uy=uy1, uz=uz1, gamma=g1)
+        kick_lost = jnp.maximum(n_ev - EVC, 0).astype(jnp.int32)
+    elif "kicks" not in _ablate:
         def _kick_small(cols):
             ux0, uy0, uz0, g0 = cols
             ux1 = ux0.at[tgt].add(du_j[:, 0].astype(ux0.dtype),
@@ -908,6 +1039,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             ph, overflow = insert(ph, buf, stim_j)
             overflow = overflow + jnp.sum(stimulated) - jnp.sum(stim_j)
     out_species = {**species, "electron": e, "photon": ph}
+    overflow = overflow + kick_lost
     deferred = overflow_pairs + aovf
     if events is not None:
         return out_species, overflow, deferred, events

@@ -149,6 +149,45 @@ def deposit_sorted(
     return J + jnp.stack([Jx, Jy, Jz], axis=-1), rho + r
 
 
+def deposit_onehot(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
+    """Small-N deposition via one one-hot MXU contraction.
+
+    Same tap values and wiring as :func:`deposit`, but the scatter-add
+    becomes ``(N, n_slab+4) one-hot  x  (N, 15) values`` on the MXU
+    plus 15 static shifted-slice adds.  The XLA scatter-add path costs
+    ~2.0 ms/step even at 256 rows on v5e (the whole misfit-fallback
+    chain's dominant cost, r4 micro); this contraction is ~4 M MACs.
+    Out-of-slab taps drop, like ``deposit``'s guard (particles whose
+    one-hot row misses the padded range entirely deposit nothing —
+    they are deposit-reach violations, counted by the caller).
+    """
+    from jax import lax
+
+    n_slab = rho.shape[0]
+    vals, plan = _particle_values(
+        x, prev_x, macrocharge, velocity[:, 1], velocity[:, 2], dx, dt
+    )
+    P = 2  # tap offsets span [-2, 2]
+    O = (
+        (idx + P)[:, None]
+        == jnp.arange(n_slab + 2 * P, dtype=idx.dtype)[None, :]
+    ).astype(vals.dtype)
+    contrib = lax.dot_general(
+        O, vals, (((0,), (0,)), ((), ()))
+    )  # (n_slab + 4, 15): per padded row, the 15 tap values
+    comps = {0: jnp.zeros_like(rho), 1: jnp.zeros_like(rho),
+             2: jnp.zeros_like(rho), 3: jnp.zeros_like(rho)}
+    for c, off, comp in plan:
+        # particle at row r0 contributes tap c at row r0 + off:
+        # J[r] += contrib[r - off + P, c]
+        comps[comp] = comps[comp] + contrib[P - off : P - off + n_slab, c]
+    J = J.at[:, 0].add(comps[0].astype(J.dtype))
+    J = J.at[:, 1].add(comps[1].astype(J.dtype))
+    J = J.at[:, 2].add(comps[2].astype(J.dtype))
+    rho = rho + comps[3].astype(rho.dtype)
+    return J, rho
+
+
 def deposit(J, rho, idx, x, prev_x, macrocharge, velocity, dx, dt):
     """Accumulate one species' contribution into slab arrays.
 

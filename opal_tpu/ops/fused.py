@@ -155,6 +155,15 @@ def _full_vmem(shape):
     )
 
 
+def _reach_rows(spec: FusedSpec):
+    """Static [lo, hi] bounds (table-row space) of cells whose deposit
+    taps stay inside the [-HALO, n_loc + HALO) current slab after
+    :func:`fold_out_slab` trims the PAD rows: cell in
+    [-HALO+2, n_loc+HALO-3].  row_off = HALO + PAD, n_rows =
+    n_loc + 2*HALO + 2*PAD."""
+    return np.int32(PAD + 2), np.int32(spec.n_rows - PAD - 3)
+
+
 def _w2(xh):
     """Second-order b-spline weight (``yee.rs:140-149``)."""
     a = jnp.abs(xh)
@@ -784,7 +793,12 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     relf = rel.astype(F32)
     q = q_ref[0] * F32(spec.charge)
 
-    fit = (rel >= 1) & (rel <= W - 3)  # true bounds; see _kernel_block
+    # true bounds + deposit reach; see _kernel_block
+    lo_row, hi_row = _reach_rows(spec)
+    fit = (
+        (rel >= 1) & (rel <= W - 3)
+        & (cell >= lo_row) & (cell <= hi_row)
+    )
     miss = (q != 0.0) & ~fit
     upd = fit & (q != 0.0)
 

@@ -41,7 +41,7 @@ from . import constants as const
 from .fields import make_mesh, sm_mask, zero_fields
 from .grid import HALO, GridGeometry, apply_boundaries, em_field_energy_local
 from .ops import maxwell
-from .ops.deposit import deposit, deposit_sorted
+from .ops.deposit import deposit, deposit_onehot, deposit_sorted
 from .ops.interp import fields_at
 from .ops.pusher import boris_push, photon_chi, photon_push, vay_push
 from .parallel import halo
@@ -142,6 +142,16 @@ class SimOptions:
     # a later step) and counted — a delay, never an energy-ledger
     # violation.
     emission_insert_capacity: int = -1
+    # upper bound on any particle's per-step cell drift, in cells (the
+    # CFL default 0.95 is always safe).  Slow-drift decks (two-stream
+    # class) may set the measured bound: migration can then be DEFERRED
+    # far beyond the HALO-1 step cap — particles roam up to 2 cells out
+    # of the slab (the deposit/gather reach through the halo machinery)
+    # between exchanges, so drift * M <= 2 cells is the real
+    # constraint, not M <= 3 steps.  Rows beyond the reach are routed
+    # to the misfit fallback and their dropped deposit taps COUNTED as
+    # losses (sizing errors are loud, never silent).
+    max_drift_cells_per_step: float = 0.95
     # absorption pairing without the per-step electron sort: between
     # maintenance sorts the fused state is NEARLY sorted (rows move
     # only at sorts/exchanges), so per-cell candidate BRACKETS from
@@ -291,12 +301,10 @@ class Simulation:
                     "replicate_fields needs geom.n_devices == 1 (the "
                     "mesh carries the real device count)"
                 )
-            if options.photon_absorption:
-                raise ValueError(
-                    "replicate_fields is incompatible with "
-                    "photon_absorption: pairing needs spatially-local "
-                    "particle shards (use the domain decomposition)"
-                )
+            # photon_absorption works here too (r4): pairing runs over
+            # an all-gathered per-cell candidate table with kick
+            # records routed to their owner devices
+            # (interactions.absorb replicated mode)
         self.dtype = dtype
         self.field_dtype = field_dtype if field_dtype is not None else dtype
         # Pallas interpret mode keyed on the MESH platform, not
@@ -607,7 +615,10 @@ class Simulation:
                 )
                 vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
             if opt.current_deposition:
-                J2, rho2 = deposit(
+                # one-hot MXU deposit: the scatter-add formulation cost
+                # ~2.0 ms/step even at 256 fallback rows on v5e (the
+                # whole chain's dominant cost, r4 misfit micro)
+                J2, rho2 = deposit_onehot(
                     J_add, rho_add, fb["cell"] + HALO, fb["x"],
                     fb["prev_x"], m_q, vel, geom.dx, opt.dt,
                 )
@@ -618,6 +629,17 @@ class Simulation:
                 sc(u_col, fb[fname]) if fname in fb else u_col
                 for fname, u_col in zip(names, upd_t)
             )
+            # deposit-reach violations: rows beyond [-HALO+2,
+            # n_loc+HALO-3] lose out-of-slab deposit taps (dropped by
+            # the scatter) — counted as losses so a wrong
+            # max_drift_cells_per_step estimate voids the run loudly
+            # (counts repeat while the row stays out of reach)
+            if opt.current_deposition:
+                viol = (m_q != 0.0) & (
+                    (m_cell < -(HALO - 2))
+                    | (m_cell > geom.n_loc + HALO - 3)
+                )
+                movf = movf + jnp.sum(viol.astype(jnp.int32))
             return out, J2, rho2, movf.astype(jnp.int32)
 
         if opt.debug_skip_misfit:
@@ -683,6 +705,12 @@ class Simulation:
         m_g = jnp.where(valid, rows[:, 7], 1.0)
         m_w = jnp.where(valid, ps.weight.reshape(-1)[mtab], 0.0)
         m_q = m_w * jnp.float32(spec.charge)
+        if opt.current_deposition:
+            # deposit-reach violations -> losses (see _fused_push_deposit)
+            viol = (m_q != 0.0) & (
+                (m_cell < -(HALO - 2)) | (m_cell > geom.n_loc + HALO - 3)
+            )
+            movf = movf + jnp.sum(viol.astype(jnp.int32))
         Ep, Bp = fields_at(E_slab, B_slab, m_cell + HALO, m_x)
         Ep = Ep.astype(jnp.float32)
         Bp = Bp.astype(jnp.float32)
@@ -715,7 +743,7 @@ class Simulation:
             prev_x, chi = px_b, jnp.zeros_like(x_b)
             vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
         if opt.current_deposition:
-            J_add, rho_add = deposit(
+            J_add, rho_add = deposit_onehot(
                 J_add, rho_add,
                 out9[:, 0].astype(jnp.int32) + HALO, out9[:, 1], prev_x,
                 m_q, vel, geom.dx, opt.dt,
@@ -800,7 +828,18 @@ class Simulation:
         buffers: measured 12.7 ms/step of pure copy overhead at 8.4M
         particles on v5e, more than the kernel itself)."""
         opt = self.options
-        M = max(1, min(opt.migration_every, HALO - 1))
+        drift = float(opt.max_drift_cells_per_step)
+        if drift < 0.5:
+            # slow-drift deck (two-stream class): the binding
+            # constraint is excursion ceil(drift * M) <= HALO - 2
+            # cells (deposit/gather reach), NOT a step count — the
+            # exchange can defer all the way to the sort cadence
+            # (each exchange at M=3 cost ~1.17 ms/step of the 7.4 ms
+            # bench step on v5e, r4 ladder)
+            m_cap = int((HALO - 2) / max(drift, 1e-9))
+        else:
+            m_cap = HALO - 1
+        M = max(1, min(opt.migration_every, m_cap))
         if opt.current_deposition and any(
             self.specs[n].charge != 0.0
             and not self._fused_applicable(n, species[n])
@@ -810,7 +849,8 @@ class Simulation:
             # 3+ cells out of domain (fused deposition has PAD rows of
             # margin); with the exchange at migration-block end the
             # deposit can see M cells of drift, so M <= HALO - 3
-            M = min(M, HALO - 3)
+            M = min(M, max(1, int((HALO - 3) / max(drift, 1e-9)))
+                    if drift < 0.5 else HALO - 3)
         # QED no longer forces M = 1: absorption pairs over the
         # halo-extended cell range [-HALO, n_loc + HALO)
         # (interactions.absorb), so out-of-domain particles keep
@@ -1037,6 +1077,7 @@ class Simulation:
                 self, species, t, jax.random.fold_in(sub, ai),
                 axis_index=ai, presorted=e_presorted,
                 bracketed=e_bracketed,
+                replicated=opt.replicate_fields,
             )
             if self._event_log:
                 species, ovf, dfr, (rec, want) = res

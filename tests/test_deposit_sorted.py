@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opal_tpu.grid import HALO
-from opal_tpu.ops.deposit import deposit, deposit_sorted
+from opal_tpu.ops.deposit import deposit, deposit_onehot, deposit_sorted
 
 
 def _random_inputs(n, n_loc, seed):
@@ -34,6 +34,43 @@ def test_sorted_matches_scatter():
                                rtol=1e-10, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_onehot_matches_scatter():
+    """The misfit fallback's one-hot MXU formulation must match the
+    scatter path (same tap values; blocked vs index summation order),
+    including in-domain rows near the slab edges."""
+    args = _random_inputs(512, 64, 3)
+    dx, dt = 500.0, 1e-12
+    J1, r1 = deposit(*args, dx, dt)
+    J2, r2 = deposit_onehot(*args, dx, dt)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1),
+                               rtol=1e-10, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_onehot_out_of_slab_taps_drop():
+    """Rows whose taps leave the slab lose exactly those taps (parity
+    with deposit()'s drop guard), and far-out rows deposit nothing."""
+    n_loc = 16
+    n_slab = n_loc + 2 * HALO
+    # idx 1: the -2 tap (row -1) must drop; idx n_slab-1: +1/+2 drop;
+    # idx -7: fully out (one-hot misses), deposits nothing anywhere
+    idx = jnp.asarray(np.array([1, n_slab - 1, -7], np.int32))
+    x = jnp.asarray(np.array([0.3, 0.7, 0.5]))
+    prev_x = jnp.asarray(np.array([0.4, 0.6, 0.4]))
+    q = jnp.asarray(np.ones(3))
+    vel = jnp.asarray(np.full((3, 3), 1e7))
+    J0 = jnp.zeros((n_slab, 3))
+    rho0 = jnp.zeros(n_slab)
+    dx, dt = 500.0, 1e-12
+    J1, r1 = deposit(J0, rho0, idx, x, prev_x, q, vel, dx, dt)
+    J2, r2 = deposit_onehot(J0, rho0, idx, x, prev_x, q, vel, dx, dt)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1),
+                               rtol=1e-10, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-10, atol=1e-20)
 
 
 def test_sorted_empty_and_single_cell():

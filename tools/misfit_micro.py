@@ -44,7 +44,7 @@ def main(argv=None):
 
     from opal_tpu import constants as const
     from opal_tpu.grid import HALO
-    from opal_tpu.ops.deposit import deposit
+    from opal_tpu.ops.deposit import deposit, deposit_onehot
     from opal_tpu.ops.fused import misfit_compact
     from opal_tpu.ops.interp import fields_at
     from opal_tpu.ops.pusher import vay_push
@@ -111,6 +111,11 @@ def main(argv=None):
                 vel = m_u
             if "deposit" in stages:
                 J, rho = deposit(
+                    J, rho, fb["cell"] + HALO, fb["x"],
+                    fb["prev_x"], m["weight"], vel, dx, dt,
+                )
+            if "deposit1h" in stages:
+                J, rho = deposit_onehot(
                     J, rho, fb["cell"] + HALO, fb["x"],
                     fb["prev_x"], m["weight"], vel, dx, dt,
                 )
