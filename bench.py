@@ -142,7 +142,11 @@ def main(argv=None):
     # 250 steps so the timed block contains a maintenance sort at the
     # default cadence (the schedule opens every run with one): shorter
     # blocks under-amortize the per-run sort
-    parser.add_argument("--steps", type=int, default=250)
+    # 1024 (was 250): per-call overhead + the once-per-program
+    # maintenance sort cost ~0.6 ms/step at 250 steps — r4 measured
+    # 1.139e9 -> 1.239e9 pushes/s/chip from this alone.  QED decks
+    # drop to 50 via the --qed branch below.
+    parser.add_argument("--steps", type=int, default=0)
     # the tunnel-attached device kills any single program that runs
     # ~30+ s wall (BASELINE.md 2026-08-19 bisect); QED steps are slow
     # enough that a 250-step program can trip it, so the timed block
@@ -317,6 +321,8 @@ def main(argv=None):
     # 0.0095 cells/step under CFL (BENCH_DRIFT_U below) — the window,
     # migration and deferred-exchange sizing all key on it
     BENCH_DRIFT_CELLS = 0.0095
+    if not args.steps:
+        args.steps = 50 if args.qed else 1024
     if not args.fused_resort:
         # 192 (not 256) when migration defers to the sort cadence: the
         # 2-cell deposit/gather reach bounds drift*period at ceil <= 2
@@ -483,7 +489,13 @@ def main(argv=None):
     key = jax.random.key(0)
 
     if args.steps_per_program < 0:
-        args.steps_per_program = 50 if args.qed else 0
+        # the tunnel watchdog kills ~30+ s programs: cap one program's
+        # device time at ~16 s assuming ~1.2e9 pushes/s (over-estimates
+        # at small N, where programs are short anyway)
+        args.steps_per_program = (
+            50 if args.qed
+            else max(64, int(1.92e10 / max(1, n_particles)))
+        )
     spp = args.steps_per_program or args.steps
     spp = min(spp, args.steps)
 

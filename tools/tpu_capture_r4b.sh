@@ -34,6 +34,11 @@ run_stage qed-2m 3000 python bench.py --verbose --qed \
   --particles 2097152 --steps 50 --steps-per-program 25
 run_stage qed-2m-cb 2400 python bench.py --verbose --qed --no-deposition \
   --no-absorption --particles 2097152 --steps 50 --steps-per-program 25
+# emission-active A/B: the one-hot MXU sampler may have inverted the
+# r2 verdict — full-length sampling avoids the (EC, 8) row gather
+run_stage qed-2m-cb-fullem 2400 python bench.py --verbose --qed \
+  --no-deposition --no-absorption --particles 2097152 --steps 50 \
+  --steps-per-program 25 --emission-active 0
 
 # 5. QED at 8.39M (VERDICT item 6): any rc=0 number
 run_stage qed-8m 4800 python bench.py --verbose --qed \
