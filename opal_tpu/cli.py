@@ -253,7 +253,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     _r_opt = int(tpu_opt("fused_resort_every", 0))
     r_pinned = _r_opt > 0
     fused_resort_every = _r_opt if r_pinned else 64
-    migration_every = int(tpu_opt("migration_every", 1))
+    migration_every = int(tpu_opt("migration_every", 0))  # 0 = auto
     # The shared fused window must fit EVERY fused species' block span:
     # size from the minimum npc across electrons/ions (an ion species
     # with fewer particles per cell spans more cells per block); the
@@ -495,6 +495,32 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     )
     fused_window = int(tpu_opt("fused_window", auto_w))
     fused_window = max(8, min(fused_window, w_max))
+    # deferred migration (r4): for slow decks the exchange cadence is
+    # bounded by the 2-cell deposit/gather reach, ceil(drift*M) <= 2,
+    # not by a step count.  Auto (migration_every = 0): defer up to the
+    # sort cadence using 4x the initialized peak |vx| as the drift
+    # bound (in-field acceleration past it is a counted loss, never
+    # silent — instability trapping reaches ~2.5x the drift).  Laser
+    # decks heat to ~c and keep the per-step exchange.
+    max_drift = 0.95
+    if migration_every == 0:
+        v_peak = 0.05
+        for _nm, _st in states.items():
+            if specs[_nm].kind not in ("electron", "ion"):
+                continue
+            _al = np.asarray(_st.alive)
+            if _al.any():
+                _vx = np.abs(
+                    np.asarray(_st.ux)[_al] / np.asarray(_st.gamma)[_al]
+                )
+                v_peak = max(v_peak, float(_vx.max()))
+        if left_bdy != "laser" and fused_pusher:
+            max_drift = min(0.95, 4.0 * v_peak * 0.95)
+            migration_every = max(
+                1, min(fused_resort_every, int(1.8 / max_drift))
+            )
+        else:
+            migration_every = 1
     # edge-exchange window: cover the leaver front, which marches
     # npc * v rows/step through the (row-static) sorted state between
     # maintenance sorts.  Sized for the CFL worst case (1 cell/step
@@ -561,6 +587,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         fused_misfit_capacity=fused_misfit_capacity,
         migration_every=migration_every,
         migration_window=migration_window,
+        max_drift_cells_per_step=max_drift,
         replicate_fields=replicate,
     )
 
