@@ -548,7 +548,7 @@ def main(argv=None):
             n = min(spp, nsteps - done)
             k, sub = jax.random.split(k)
             out = sim.run(E, B, J, rho, species, float(t), sub,
-                          counters, n)
+                          counters, n, donate=True)
             E, B, J, rho, species, t, counters = out
             done += n
         return out

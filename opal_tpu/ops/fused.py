@@ -680,6 +680,47 @@ def fold_out_slab(out_slab):
     return J[PAD:-PAD], rho[PAD:-PAD]
 
 
+def deposit_into_slab(out_slab, row, x, prev_x, macrocharge, velocity,
+                      dx, dt):
+    """Misfit-fallback deposition accumulated into the kernel's
+    (n_rows, 16) unshifted tap slab.
+
+    The fallback previously deposited through its own grid-space path
+    (``ops.deposit.deposit_onehot`` + 15 shifted-slice adds + J/rho
+    adds) AFTER :func:`fold_out_slab` — ~20 extra small grid-length ops
+    per step that dominated the whole fallback chain (~1.9 ms/step on
+    v5e even at 256 rows, r4 misfit micro).  Here the taps land in the
+    SAME (n_rows, 16) column layout the kernel accumulates
+    (``_particle_values``'s column order matches ``COLS`` by
+    construction), so one one-hot MXU contraction adds them into the
+    slab and the single existing fold serves kernel + fallback alike.
+
+    ``row`` is table-row space (cell + row_off).  Rows outside the
+    deposit-reach bounds [PAD+2, n_rows-PAD-3] miss the one-hot and
+    deposit NOTHING — callers count them as deposit-reach losses (the
+    old path deposited their in-slab taps, but such rows void the run
+    either way).  Dead/invalid rows must carry zero macrocharge."""
+    from .deposit import _particle_values
+
+    n_rows = out_slab.shape[0]
+    vals, _plan = _particle_values(
+        x, prev_x, macrocharge, velocity[:, 1], velocity[:, 2], dx, dt
+    )
+    vals = jnp.concatenate(
+        [vals, jnp.zeros_like(vals[:, :1])], axis=1
+    )  # the (0, 4) pad column
+    lo = PAD + 2
+    hi = n_rows - PAD - 3
+    nr = hi - lo + 1
+    O = (
+        row[:, None] == (jnp.arange(nr, dtype=row.dtype) + lo)[None, :]
+    ).astype(vals.dtype)
+    contrib = lax.dot_general(
+        O, vals, (((0,), (0,)), ((), ()))
+    )  # (nr, 16)
+    return out_slab.at[lo : hi + 1, :].add(contrib)
+
+
 def block_anchors(spec: FusedSpec, cell):
     """Per-block window bases for a cell-sorted state, from the raw
     device-local cell column: per-block minima (an (nblk, block)

@@ -41,7 +41,7 @@ from . import constants as const
 from .fields import make_mesh, sm_mask, zero_fields
 from .grid import HALO, GridGeometry, apply_boundaries, em_field_energy_local
 from .ops import maxwell
-from .ops.deposit import deposit, deposit_onehot, deposit_sorted
+from .ops.deposit import deposit, deposit_sorted
 from .ops.interp import fields_at
 from .ops.pusher import boris_push, photon_chi, photon_push, vay_push
 from .parallel import halo
@@ -318,6 +318,12 @@ class Simulation:
         self.laser_y = laser_y or zero
         self.laser_z = laser_z or zero
         self._run = jax.jit(self._build_run(), static_argnames=("nsteps",))
+        # donating variant built lazily (Simulation.run(donate=True)):
+        # input/output aliasing halves the peak HBM footprint of the
+        # particle state — required at north-star scale (1e8 rows x 13
+        # f32 columns = 5.2 GB state; without aliasing the program
+        # holds inputs + outputs + workspace and OOMs a 16 GB v5e)
+        self._run_donated = None
 
     # ------------------------------------------------------------------
     # state plumbing
@@ -519,7 +525,6 @@ class Simulation:
             st.work if fspec.work_out else None, eb,
             interpret=self._interpret,
         )
-        J_add, rho_add = F.fold_out_slab(out_slab)
 
         # optical depth decrements OUTSIDE the kernel (any tau update
         # inside made Mosaic's optimizer effectively hang when the
@@ -571,7 +576,7 @@ class Simulation:
         names = tuple(upd)
 
         def _fallback(ops):
-            upd_t, J_add, rho_add = ops
+            upd_t, out_slab = ops
             mtab, movf = F.misfit_compact(miss, opt.fused_misfit_capacity)
             tk = lambda a, fill: jnp.take(
                 a, mtab, axis=0, mode="fill", fill_value=fill
@@ -615,15 +620,16 @@ class Simulation:
                 )
                 vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
             if opt.current_deposition:
-                # one-hot MXU deposit: the scatter-add formulation cost
-                # ~2.0 ms/step even at 256 fallback rows on v5e (the
-                # whole chain's dominant cost, r4 misfit micro)
-                J2, rho2 = deposit_onehot(
-                    J_add, rho_add, fb["cell"] + HALO, fb["x"],
+                # one-hot MXU deposit into the kernel's tap slab: its
+                # own grid-space deposit chain (scatter OR one-hot +
+                # shifted adds) cost ~1.9-2.0 ms/step even at 256
+                # fallback rows on v5e (the whole chain's dominant
+                # cost, r4 misfit micro) — sharing the kernel's slab
+                # and fold removes those ops entirely
+                out_slab = F.deposit_into_slab(
+                    out_slab, fb["cell"] + fspec.row_off, fb["x"],
                     fb["prev_x"], m_q, vel, geom.dx, opt.dt,
                 )
-            else:  # J_add is unused downstream (step 5 gate)
-                J2, rho2 = J_add, rho_add
             sc = lambda a, v: a.at[mtab].set(v.astype(a.dtype), mode="drop")
             out = tuple(
                 sc(u_col, fb[fname]) if fname in fb else u_col
@@ -640,15 +646,16 @@ class Simulation:
                     | (m_cell > geom.n_loc + HALO - 3)
                 )
                 movf = movf + jnp.sum(viol.astype(jnp.int32))
-            return out, J2, rho2, movf.astype(jnp.int32)
+            return out, out_slab, movf.astype(jnp.int32)
 
         if opt.debug_skip_misfit:
             movf = jnp.zeros((), jnp.int32)
         else:
-            upd_t, J_add, rho_add, movf = _fallback(
-                (tuple(upd[k] for k in names), J_add, rho_add)
+            upd_t, out_slab, movf = _fallback(
+                (tuple(upd[k] for k in names), out_slab)
             )
             upd = dict(zip(names, upd_t))
+        J_add, rho_add = F.fold_out_slab(out_slab)
         return (
             dataclasses.replace(st, **upd), J_add, rho_add, movf,
             anchors_next,
@@ -673,10 +680,10 @@ class Simulation:
             fspec, anchors, ps.h, ps.weight, eb,
             interpret=self._interpret,
         )
-        J_add, rho_add = F.fold_out_slab(out_slab)
         ps = F.PackedState(h=H_new, aux=A_new, weight=ps.weight, tau=ps.tau)
 
         if opt.debug_skip_misfit:
+            J_add, rho_add = F.fold_out_slab(out_slab)
             return ps, J_add, rho_add, jnp.zeros((), jnp.int32), anchors_next
 
         # ---- compacted misfit fallback (see _fused_push_deposit for
@@ -743,11 +750,11 @@ class Simulation:
             prev_x, chi = px_b, jnp.zeros_like(x_b)
             vel = const.SPEED_OF_LIGHT * u_b / gb[:, None]
         if opt.current_deposition:
-            J_add, rho_add = deposit_onehot(
-                J_add, rho_add,
-                out9[:, 0].astype(jnp.int32) + HALO, out9[:, 1], prev_x,
-                m_q, vel, geom.dx, opt.dt,
+            out_slab = F.deposit_into_slab(
+                out_slab, out9[:, 0].astype(jnp.int32) + fspec.row_off,
+                out9[:, 1], prev_x, m_q, vel, geom.dx, opt.dt,
             )
+        J_add, rho_add = F.fold_out_slab(out_slab)
         h = H_new.reshape(-1).at[idx].set(
             out9.astype(jnp.float32), mode="drop"
         ).reshape(H_new.shape)
@@ -1423,11 +1430,19 @@ class Simulation:
         return ring, count
 
     def run(self, E, B, J, rho, species, t0, key, counters, nsteps: int,
-            events=None):
+            events=None, donate=False):
         """Advance ``nsteps`` steps; returns (E, B, J, rho, species, t,
         counters[, events]) with J/rho from the final step (for output
         parity).  ``events`` (and the extra return leg) exist only when
-        an extra-output feature flag is enabled."""
+        an extra-output feature flag is enabled.
+
+        With ``donate=True`` the state arguments (fields, species,
+        counters, events) are DONATED: the caller must not touch the
+        passed-in arrays afterwards (rebind them to the returned ones).
+        Long-running drivers (bench, CLI spans) use this — it lets XLA
+        alias inputs onto outputs and halves the state footprint, the
+        difference between fitting 1e8 macroparticles on a 16 GB chip
+        or not."""
         rest = ()
         if self._event_log:
             rest = (events if events is not None else self.zero_events(),)
@@ -1438,7 +1453,16 @@ class Simulation:
         t0 = jax.device_put(
             jnp.asarray(t0, self.field_dtype), NamedSharding(self.mesh, P())
         )
-        return self._run(
+        runner = self._run
+        if donate:
+            if self._run_donated is None:
+                dn = (0, 1, 2, 3, 4, 7) + ((8,) if self._event_log else ())
+                self._run_donated = jax.jit(
+                    self._build_run(), static_argnames=("nsteps",),
+                    donate_argnums=dn,
+                )
+            runner = self._run_donated
+        return runner(
             E, B, J, rho, species, t0, key, counters, *rest, nsteps=nsteps,
         )
 

@@ -73,6 +73,39 @@ def test_onehot_out_of_slab_taps_drop():
                                rtol=1e-10, atol=1e-20)
 
 
+def test_slab_deposit_matches_scatter():
+    """The misfit fallback's slab-accumulated deposit (one one-hot
+    contraction into the kernel's (n_rows, 16) tap slab, folded by
+    fold_out_slab) must match the scatter path for rows inside the
+    deposit-reach bounds, and drop rows outside them entirely."""
+    from opal_tpu.ops.fused import PAD, deposit_into_slab, fold_out_slab
+
+    n_loc = 64
+    n_slab = n_loc + 2 * HALO
+    J0, rho0, idx, x, prev_x, q, vel = _random_inputs(512, n_loc, 7)
+    dx, dt = 500.0, 1e-12
+    J1, r1 = deposit(J0, rho0, idx, x, prev_x, q, vel, dx, dt)
+    slab = jnp.zeros((n_slab + 2 * PAD, 16))
+    slab = deposit_into_slab(slab, idx + PAD, x, prev_x, q, vel, dx, dt)
+    J2, r2 = fold_out_slab(slab)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1),
+                               rtol=1e-10, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-10, atol=1e-12)
+
+    # out-of-reach rows (beyond [PAD+2, n_rows-PAD-3] in table space)
+    # miss the one-hot and deposit NOTHING (they are counted as
+    # deposit-reach losses by the caller)
+    bad = jnp.asarray(np.array([1, n_slab + 2 * PAD - 2, -50], np.int32))
+    slab_b = deposit_into_slab(
+        jnp.zeros((n_slab + 2 * PAD, 16)), bad,
+        jnp.asarray([0.3, 0.5, 0.7]), jnp.asarray([0.4, 0.4, 0.6]),
+        jnp.asarray([1.0, 1.0, 1.0]), jnp.asarray(np.full((3, 3), 1e7)),
+        dx, dt,
+    )
+    assert float(jnp.sum(jnp.abs(slab_b))) == 0.0
+
+
 def test_sorted_empty_and_single_cell():
     # all particles in one cell; and all-dead (q = 0) input
     n_loc = 16

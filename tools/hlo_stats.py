@@ -56,6 +56,14 @@ def main(argv=None):
     p.add_argument("--no-absorption", dest="absorption",
                    action="store_false", default=True,
                    help="with --qed: emission only (colliding_beams shape)")
+    # step-shape knobs mirroring bench.py's r4 defaults (deferred
+    # migration: M = R = 192, blk8192 x sub16 x W16, misfit 256)
+    p.add_argument("--fused-block", type=int, default=8192)
+    p.add_argument("--fused-subblocks", type=int, default=16)
+    p.add_argument("--fused-window", type=int, default=16)
+    p.add_argument("--fused-resort", type=int, default=192)
+    p.add_argument("--migrate-every", type=int, default=192)
+    p.add_argument("--misfit-capacity", type=int, default=256)
     args = p.parse_args(argv)
 
     import jax
@@ -92,8 +100,13 @@ def main(argv=None):
     opts = SimOptions(
         dt=dt, current_deposition=args.deposition,
         migration_capacity=512, fused_pusher=True,
-        fused_window=16, fused_block=2048, fused_resort_every=64,
-        migration_every=3,
+        fused_window=args.fused_window, fused_block=args.fused_block,
+        fused_subblocks=args.fused_subblocks,
+        fused_misfit_capacity=args.misfit_capacity,
+        fused_resort_every=args.fused_resort,
+        migration_every=args.migrate_every,
+        max_drift_cells_per_step=0.0095 if not args.qed else 0.95,
+        migration_window=8192,
         photon_emission=args.qed,
         photon_absorption=args.qed and args.absorption,
         absorption_candidates=64,

@@ -45,7 +45,7 @@ def main(argv=None):
     from opal_tpu import constants as const
     from opal_tpu.grid import HALO
     from opal_tpu.ops.deposit import deposit, deposit_onehot
-    from opal_tpu.ops.fused import misfit_compact
+    from opal_tpu.ops.fused import PAD, deposit_into_slab, misfit_compact
     from opal_tpu.ops.interp import fields_at
     from opal_tpu.ops.pusher import vay_push
 
@@ -69,12 +69,13 @@ def main(argv=None):
     B_slab = jnp.zeros((n_slab, 3), jnp.float32)
     J0 = jnp.zeros((n_slab, 3), jnp.float32)
     rho0 = jnp.zeros((n_slab,), jnp.float32)
+    slab0 = jnp.zeros((n_slab + 2 * PAD, 16), jnp.float32)
 
     def chain(stages):
         stages = set(stages)
 
         def body(carry, _):
-            cols, miss, J, rho = carry
+            cols, miss, J, rho, slab = carry
             if "compact" in stages:
                 mtab, movf = misfit_compact(miss, cap)
             else:
@@ -119,6 +120,11 @@ def main(argv=None):
                     J, rho, fb["cell"] + HALO, fb["x"],
                     fb["prev_x"], m["weight"], vel, dx, dt,
                 )
+            if "depositslab" in stages:
+                slab = deposit_into_slab(
+                    slab, fb["cell"] + HALO + PAD, fb["x"],
+                    fb["prev_x"], m["weight"], vel, dx, dt,
+                )
             if "scatters" in stages:
                 sc = lambda a, v: a.at[mtab].set(
                     v.astype(a.dtype), mode="drop"
@@ -131,13 +137,13 @@ def main(argv=None):
                 cols = {**cols, "x": cols["x"] + movf.astype(jnp.float32) * 0}
             # state feedback: miss depends on x so the chain can't hoist
             miss = jnp.where(cols["x"] > 2.0, 1.0, miss)
-            return (cols, miss, J, rho), None
+            return (cols, miss, J, rho, slab), None
 
-        def run(cols, miss, J, rho):
-            (cols, miss, J, rho), _ = lax.scan(
-                body, (cols, miss, J, rho), None, length=args.steps
+        def run(cols, miss, J, rho, slab):
+            (cols, miss, J, rho, slab), _ = lax.scan(
+                body, (cols, miss, J, rho, slab), None, length=args.steps
             )
-            return cols["x"], miss, J, rho
+            return cols["x"], miss, J, rho, slab
 
         return jax.jit(run)
 
@@ -149,11 +155,11 @@ def main(argv=None):
         label = "+".join(stages) if stages else "baseline"
         f = chain(stages)
         t0 = time.monotonic()
-        out = f(cols0, miss0, J0, rho0)
+        out = f(cols0, miss0, J0, rho0, slab0)
         jax.block_until_ready(out)
         compile_s = time.monotonic() - t0
         t0 = time.monotonic()
-        out = f(cols0, miss0, J0, rho0)
+        out = f(cols0, miss0, J0, rho0, slab0)
         jax.block_until_ready(out)
         ms = 1e3 * (time.monotonic() - t0) / args.steps
         results[label] = ms
