@@ -738,9 +738,15 @@ def main(argv=None) -> int:
         while done < nsteps:
             n = min(run_chunk, nsteps - done)
             span_key, sub = jax.random.split(span_key)
+            # donate=True: state buffers alias input->output, halving
+            # the particle-state HBM footprint (the difference between
+            # fitting a 1e8-row deck on a 16 GB chip or not).  All
+            # output-time consumers (host_view, energies, checkpoint,
+            # refresh_electron_chi) read the RETURNED arrays before the
+            # next span donates them.
             res = sim.run(
                 E, B, J, rho, species, float(t), sub, counters, n,
-                events=events,
+                events=events, donate=True,
             )
             E, B, J, rho, species, t, counters = res[:7]
             if sim._event_log:
