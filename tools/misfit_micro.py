@@ -125,6 +125,38 @@ def main(argv=None):
                     slab, fb["cell"] + HALO + PAD, fb["x"],
                     fb["prev_x"], m["weight"], vel, dx, dt,
                 )
+            # sub-part isolation stages (r4d: all three deposit
+            # variants cost ~1.9 ms/step at 256 rows on v5e while
+            # takes/scatters are free — find which piece pays)
+            if "vals" in stages:
+                # tap values only; scalar feedback, no reduction
+                from opal_tpu.ops.deposit import _particle_values
+                v15, _ = _particle_values(
+                    fb["x"], fb["prev_x"], m["weight"], vel[:, 1],
+                    vel[:, 2], dx, dt,
+                )
+                rho = rho + jnp.sum(v15) * 0
+            if "matmul" in stages:
+                # one-hot + MXU contraction, result NOT carried (sum
+                # feeds a scalar leg): isolates the contraction from
+                # the slab read-modify-write
+                from opal_tpu.ops.deposit import _particle_values
+                v15, _ = _particle_values(
+                    fb["x"], fb["prev_x"], m["weight"], vel[:, 1],
+                    vel[:, 2], dx, dt,
+                )
+                row = fb["cell"] + HALO + PAD
+                nr = n_slab + 2 * PAD
+                O = (row[:, None] == jnp.arange(nr, dtype=row.dtype)[None, :]
+                     ).astype(v15.dtype)
+                contrib = lax.dot_general(
+                    O, v15, (((0,), (0,)), ((), ()))
+                )
+                rho = rho + jnp.sum(contrib) * 0
+            if "slabadd" in stages:
+                # carried-slab accumulate of a CHEAP tensor (no
+                # matmul): isolates the carry read-modify-write
+                slab = slab + jnp.float32(1e-30)
             if "scatters" in stages:
                 sc = lambda a, v: a.at[mtab].set(
                     v.astype(a.dtype), mode="drop"
