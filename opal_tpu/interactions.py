@@ -794,6 +794,32 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             0, nb, body, init
         )
 
+    # --- event-capacity deferral ---------------------------------------
+    # At most EVC events fire per device per step: an event whose rank
+    # exceeds EVC is CANCELLED — the photon's depths are restored to
+    # their pre-walk values, no kick/kill/copy happens, and it re-walks
+    # (and near-certainly re-fires) next step.  A pure counted delay,
+    # like the active-set deferrals.  This hard bound is what lets the
+    # kick run UNCONDITIONALLY in (EVC,)-row event space: the old
+    # ``lax.cond(n_ev <= EVC, small, full)`` carried ~13 full
+    # buffer-length operands, which XLA:TPU allocates on the VMEM stack
+    # inside the scanned step — at 8.39M rows that is 13 x 42 MB and
+    # the program cannot compile at all (r4 qed-8m RESOURCE_EXHAUSTED,
+    # reproduced chiplessly via bench --aot).
+    from .ops.deposit import _cumsum_cols as _cs
+
+    nw_len = ev_kind.shape[0]
+    EVC = min(
+        int(getattr(opt, "absorption_event_capacity", 0) or 4096), nw_len
+    )
+    ev_live = ev_kind > 0
+    ev_rank = _cs(ev_live.astype(jnp.int32)[:, None])[:, 0] - 1
+    ev_over = ev_live & (ev_rank >= EVC)
+    tau_abs = jnp.where(ev_over, w_tau_abs0, tau_abs).astype(tau_abs.dtype)
+    tau_st = jnp.where(ev_over, w_tau_st0, tau_st).astype(tau_st.dtype)
+    ev_kind = jnp.where(ev_over, 0, ev_kind)
+    n_ev_deferred = jnp.sum(ev_over.astype(jnp.int32))
+
     if compact:
         # Scatter the walked depths back; photons beyond the active
         # capacity keep their depths and fire no event.  EVENT
@@ -877,10 +903,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
     # (overflow counted, never silent).
     from .ops.fused import misfit_compact as _mc
 
-    nw_len = absorbed.shape[0]
-    EVC = min(4096, nw_len)
     ev_any = absorbed | stimulated
-    n_ev = jnp.sum(ev_any.astype(jnp.int32))
     etab2, _evovf = _mc(ev_any.astype(jnp.float32), EVC)
     vj = etab2 < nw_len
     j = jnp.clip(etab2, 0, nw_len - 1)
@@ -934,43 +957,20 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
         gnew = jnp.sqrt(1.0 + gx * gx + gy * gy + gz * gz)
         g1 = e.gamma.at[rtgt].set(gnew.astype(e.gamma.dtype), mode="drop")
         e = dataclasses.replace(e, ux=ux1, uy=uy1, uz=uz1, gamma=g1)
-        kick_lost = jnp.maximum(n_ev - EVC, 0).astype(jnp.int32)
+        # the event-capacity deferral bounds fired events at EVC, so
+        # every kick record has a routing row — nothing can be lost
     elif "kicks" not in _ablate:
-        def _kick_small(cols):
-            ux0, uy0, uz0, g0 = cols
-            ux1 = ux0.at[tgt].add(du_j[:, 0].astype(ux0.dtype),
-                                  mode="drop")
-            uy1 = uy0.at[tgt].add(du_j[:, 1].astype(uy0.dtype),
-                                  mode="drop")
-            uz1 = uz0.at[tgt].add(du_j[:, 2].astype(uz0.dtype),
-                                  mode="drop")
-            # gamma refresh at the kicked rows only; duplicate targets
-            # resolve to the same value (recomputed from post-add u)
-            gx, gy, gz = ux1[tgt_c], uy1[tgt_c], uz1[tgt_c]
-            gnew = jnp.sqrt(1.0 + gx * gx + gy * gy + gz * gz)
-            g1 = g0.at[tgt].set(gnew.astype(g0.dtype), mode="drop")
-            return ux1, uy1, uz1, g1
-
-        def _kick_full(cols):
-            ux0, uy0, uz0, g0 = cols
-            ev_e = order[ev_idx]
-            w_e_ev = e.weight[ev_e]
-            scale_abs = ph_w_w / jnp.maximum(w_e_ev, _tiny(w_e_ev.dtype))
-            du = jnp.where(
-                absorbed[:, None], scale_abs[:, None] * ph_u_w,
-                jnp.where(stimulated[:, None], -ph_u_w, 0.0),
-            )
-            ux1 = ux0.at[ev_e].add(du[:, 0].astype(ux0.dtype))
-            uy1 = uy0.at[ev_e].add(du[:, 1].astype(uy0.dtype))
-            uz1 = uz0.at[ev_e].add(du[:, 2].astype(uz0.dtype))
-            g1 = jnp.sqrt(1.0 + ux1**2 + uy1**2 + uz1**2).astype(g0.dtype)
-            return ux1, uy1, uz1, g1
-
-        ux_n, uy_n, uz_n, g_n = lax.cond(
-            n_ev <= EVC, _kick_small, _kick_full,
-            (e.ux, e.uy, e.uz, e.gamma),
-        )
-        e = dataclasses.replace(e, ux=ux_n, uy=uy_n, uz=uz_n, gamma=g_n)
+        # event-space kick, unconditional: the event-capacity deferral
+        # above guarantees every fired event has a row in etab2
+        ux1 = e.ux.at[tgt].add(du_j[:, 0].astype(e.ux.dtype), mode="drop")
+        uy1 = e.uy.at[tgt].add(du_j[:, 1].astype(e.uy.dtype), mode="drop")
+        uz1 = e.uz.at[tgt].add(du_j[:, 2].astype(e.uz.dtype), mode="drop")
+        # gamma refresh at the kicked rows only; duplicate targets
+        # resolve to the same value (recomputed from post-add u)
+        gx, gy, gz = ux1[tgt_c], uy1[tgt_c], uz1[tgt_c]
+        gnew = jnp.sqrt(1.0 + gx * gx + gy * gy + gz * gz)
+        g1 = e.gamma.at[tgt].set(gnew.astype(e.gamma.dtype), mode="drop")
+        e = dataclasses.replace(e, ux=ux1, uy=uy1, uz=uz1, gamma=g1)
 
     # --- photon bookkeeping -------------------------------------------
     if compact:
@@ -1040,7 +1040,7 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             overflow = overflow + jnp.sum(stimulated) - jnp.sum(stim_j)
     out_species = {**species, "electron": e, "photon": ph}
     overflow = overflow + kick_lost
-    deferred = overflow_pairs + aovf
+    deferred = overflow_pairs + aovf + n_ev_deferred
     if events is not None:
         return out_species, overflow, deferred, events
     return out_species, overflow, deferred

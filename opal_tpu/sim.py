@@ -111,6 +111,14 @@ class SimOptions:
     absorption_stop_time: float | None = None
     # capacity planning
     migration_capacity: int = 4096
+    # events (absorption + stimulated) fired per device per step are
+    # bounded by this: the kick/copy/record machinery runs in
+    # (EVC,)-row event space, and events beyond the bound are deferred
+    # (depths restored, photon re-walks next step — a counted delay).
+    # The bound is what keeps the kick unconditional: a full-length
+    # fallback cond carried 13 buffer-length operands on the VMEM
+    # stack and could not compile at 8.39M rows (r4 qed-8m).
+    absorption_event_capacity: int = 4096
     absorption_candidates: int = 64
     # candidates examined per sequential pass of the absorption walk:
     # each pass is vectorized over (photons, block); only ceil(K/block)

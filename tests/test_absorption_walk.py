@@ -157,3 +157,62 @@ def test_fallback_gather_path_equivalent(block, monkeypatch):
     a, b = results.values()
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_event_capacity_defers_not_loses():
+    """More events than ``absorption_event_capacity`` in one step:
+    exactly EVC fire (photon dies, electron kicked), the rest are
+    DEFERRED — depths restored to pre-walk values, photon alive,
+    counted in the deferred leg, zero losses.  The cap is what keeps
+    the kick machinery in (EVC,)-row event space with no full-length
+    conditional fallback (the r4 qed-8m VMEM-stack compile failure)."""
+    geom = GridGeometry(nx=16, dx=1e-6, xmin=0.0, n_devices=1)
+    sim = SimpleNamespace(
+        geom=geom,
+        options=SimOptions(
+            dt=1.0e-15, photon_absorption=True,
+            absorption_event_capacity=2,
+        ),
+        specs=None,
+    )
+    u_e = -math.sqrt(GAMMA**2 - 1)
+    n = 8
+    e = _state(
+        SpeciesSpec.electron(), n,
+        cell=np.arange(n, dtype=np.int32) % 4,
+        weight=np.full(n, 1e10),
+        u=np.array([[u_e, 0, 0]] * n),
+        gamma=np.full(n, GAMMA),
+        chi=np.full(n, CHI_E),
+        alive=np.full(n, True),
+    )
+    # below the single-pair decrement (P ~ w s ~ 1e-15 here), so every
+    # photon fires on its first candidate
+    tau0 = 1e-10 * _per_weight_prob() * 1e10
+    ph = _state(
+        SpeciesSpec.photon(), n,
+        cell=np.arange(n, dtype=np.int32) % 4,
+        weight=np.full(n, W_PH),
+        u=np.array([[K0, 0, 0]] * n),
+        gamma=np.full(n, K0),
+        chi=np.full(n, CHI_G),
+        alive=np.full(n, True),
+        tau_abs=np.full(n, tau0),
+        tau_st=np.full(n, 1e30),
+    )
+    species, overflow, deferred = absorb(
+        sim, {"electron": e, "photon": ph}, 0.0, jax.random.key(0)
+    )
+    e2, ph2 = species["electron"], species["photon"]
+    assert int(overflow) == 0
+    n_dead = n - int(jnp.sum(ph2.alive))
+    assert n_dead == 2, "exactly EVC events fire"
+    assert int(deferred) == n - 2, "the excess is deferred, not lost"
+    # deferred photons keep their PRE-WALK depths exactly
+    alive = np.asarray(ph2.alive)
+    np.testing.assert_allclose(
+        np.asarray(ph2.tau_abs)[alive], tau0, rtol=0
+    )
+    # exactly the fired events kicked their electrons
+    du = np.asarray(e2.ux) - np.asarray(e.ux)
+    assert np.count_nonzero(du) == 2
