@@ -1247,12 +1247,26 @@ class Simulation:
                     carry, step_key, ai, inline_sort, inline_migrate
                 )
 
+            def scan1(body, carry, xs):
+                # lax.scan over a length-1 leading axis is staged as
+                # eval_jaxpr -> a ``closed_call`` whose operands
+                # XLA:TPU allocates on the VMEM *stack*: with the whole
+                # particle state among the operands that is 13 x 42 MB
+                # at 8.39M rows and the program cannot compile at all
+                # (the r4 qed-8m RESOURCE_EXHAUSTED — every
+                # small-steps-per-program QED bench tripped it).
+                # Inline the single iteration instead.
+                if xs.shape[0] == 1:
+                    carry, _ = body(carry, xs[0])
+                    return carry
+                carry, _ = lax.scan(body, carry, xs)
+                return carry
+
             def run_steps(carry, keys):
                 # keys: (k, ...) -> k steps (k static)
                 if keys.shape[0] == 0:
                     return carry
-                carry, _ = lax.scan(step, carry, keys)
-                return carry
+                return scan1(step, carry, keys)
 
             def run_block(carry, keys):
                 # one migration block: M steps then the exchange
@@ -1269,7 +1283,7 @@ class Simulation:
                     carry = run_steps(carry, keys[: nb * Mb])
                 elif nb:
                     body = lambda c, k: (run_block(c, k), None)
-                    carry, _ = lax.scan(
+                    carry = scan1(
                         body, carry, keys[: nb * Mb].reshape(nb, Mb)
                     )
                 if keys.shape[0] % Mb:
@@ -1291,7 +1305,7 @@ class Simulation:
                     return run_blocks(carry, pkeys), None
 
                 if n_per:
-                    carry, _ = lax.scan(
+                    carry = scan1(
                         period, carry,
                         keys[: n_per * R_eff].reshape(n_per, R_eff),
                     )
