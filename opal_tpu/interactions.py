@@ -675,9 +675,33 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             extra_names += ("ev_g", "ev_ux", "ev_uy", "ev_uz", "ev_chie")
     nb_loc = nb // ndev if replicated else nb
 
+    # Prefetch ALL passes' candidate rows in ONE row gather.  The
+    # per-pass ``blk[w_cell]`` gather costs ~row-count latency per
+    # PASS (the walk's dominant data movement); gathering the photon's
+    # whole packed cell row (nb*B*CC columns) once costs the same row
+    # count ONCE, and each pass then reads a contiguous slice —
+    # bandwidth-bound, not latency-bound.  Gated by a byte budget: at
+    # very large active sets the (nw, nb*B*CC) staging tensor rivals
+    # the particle state itself.
+    prefetch_rows = None
+    if use_cell_table:
+        pf_bytes = nw * nb * B * CC * (4 if dtype == jnp.float32 else 8)
+        if pf_bytes <= 2 << 30:
+            prefetch_rows = cand_blocks.reshape(n_cells, nb * B * CC)[
+                w_cell
+            ].reshape(nw, nb, B, CC)
+
     def body(bi, carry):
         tau_abs, tau_st, done, ev_kind, ev_idx, extras = carry
-        if use_cell_table:
+        if prefetch_rows is not None:
+            rows = lax.dynamic_index_in_dim(
+                prefetch_rows, bi, axis=1, keepdims=False
+            )  # (nw, B, CC)
+            valid = (
+                (~done)[:, None] & w_active[:, None] & (rows[..., 6] > 0.5)
+            )
+            w_e = rows[..., 5]
+        elif use_cell_table:
             blk = lax.dynamic_index_in_dim(
                 cand_blocks, bi, axis=1, keepdims=False
             )  # (n_cells, B*CC)
