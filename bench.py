@@ -370,7 +370,13 @@ def main(argv=None):
     # auto-sized QED active-set compactions (mirrors cli.build; the
     # bench photon capacity equals the electron capacity)
     if args.emission_active < 0:
-        args.emission_active = max(4096, cap // 8) if args.qed else 0
+        # cap/32 (was cap/8): the r4f EC ladder measured the emission
+        # machinery (row gather/scatter + sampler) scaling with EC —
+        # 5.3e7 -> 1.2e8 pushes/s at 2.1M going 327k -> 64k, with ZERO
+        # deferral even at 32k (real emitters/step ~ N rate dt).  An
+        # undersized EC defers emission by a step (counted backlog
+        # note), never loses it.
+        args.emission_active = max(4096, cap // 32) if args.qed else 0
     if args.absorption_active < 0:
         args.absorption_active = max(4096, cap // 4) if args.qed else 0
     opts = SimOptions(

@@ -451,8 +451,12 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # to slower-than-physical depth decrements — overflow is counted and
     # surfaced like every other capacity, never silent.
     if emission_active < 0:
+        # cap/32 (was cap/8): the emission machinery scales with EC
+        # (r4f ladder: 2.3x end-to-end emission-only going 327k->64k at
+        # 2.1M, zero deferral even at cap/64 on the bench beam deck).
+        # Excess emitters defer one step (counted backlog), never lost.
         emission_active = (
-            _round_up(max(4096, capacities["electron"] // 8))
+            _round_up(max(4096, capacities["electron"] // 32))
             if photon_emission else 0
         )
     if absorption_active < 0:
