@@ -324,17 +324,26 @@ def main(argv=None):
     if not args.steps:
         args.steps = 50 if args.qed else 1024
     if not args.fused_resort:
-        # 192 (not 256) when migration defers to the sort cadence: the
-        # 2-cell deposit/gather reach bounds drift*period at ceil <= 2
+        # 320 (r4i cadence stretch: 1.2724e9 vs 1.2537e9 at 192 —
+        # fewer sorts; W stays 16 since disp(320) = 6 <= the window's
+        # headroom).  The deferred-migration reach bound (drift *
+        # exchange period <= HALO - 2 cells) is kept by exchanging
+        # TWICE per sort period (migrate_every = resort // 2 below):
+        # 160 * 0.0095 = 1.5 cells.
         args.fused_resort = 64 if args.qed else (
-            256 if args.migrate_every else 192
+            256 if args.migrate_every else 320
         )
     if not args.migrate_every:
-        # deferred exchange: one migration per maintenance-sort period
-        # (r4: each M=3 exchange cost ~1.17 ms/step of the 7.4 ms bench
-        # step; deferred it amortizes to ~0.02).  QED beams march at
-        # CFL speed — keep the 3-step cadence there.
-        args.migrate_every = 3 if args.qed else args.fused_resort
+        # deferred exchange: one migration per HALF maintenance-sort
+        # period (r4: each M=3 exchange cost ~1.17 ms/step of the 7.4
+        # ms bench step; deferred it amortizes to ~0.01).  Half, not
+        # full: 320 * 0.0095 = 3.0 cells would exceed the 2-cell
+        # deposit/gather reach between exchanges; 160 * 0.0095 = 1.5
+        # keeps the guarantee.  QED beams march at CFL speed — keep
+        # the 3-step cadence there.
+        args.migrate_every = 3 if args.qed else max(
+            1, args.fused_resort // 2
+        )
     if not args.fused_block:
         # 8192 with subblocks 16 (~131k rows/program) measured 1.171e9
         # pushes/s/chip on v5e (r3 sweep) at the honest W=16 window.
