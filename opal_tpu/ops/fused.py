@@ -155,6 +155,26 @@ def _full_vmem(shape):
     )
 
 
+def _vmem_limit(spec: FusedSpec, n_cols: int) -> int:
+    """Scoped-VMEM budget for one kernel instantiation.
+
+    XLA RESERVES the full ``vmem_limit_bytes`` for the custom call: a
+    flat 64 MB grab compiled fine on shallow grids but exhausted VMEM
+    (128 MB on v5e) on deep-grid QED decks — nx = 65k at the 8.39M
+    bench makes the resident (n_rows, 8) field table + (n_rows, 16)
+    out-slab alone 6.3 MB, and the surrounding while body's own
+    buffers no longer fit next to a 64 MB reservation ("allocating on
+    stack for closed_call" RESOURCE_EXHAUSTED at every qed-8m
+    compile).  Budget = double-buffered per-program particle blocks +
+    2x the resident tables + 8 MB Mosaic scratch margin, floored at
+    24 MB (the measured QED-shape scratch need is ~17 MB, r2b) and
+    capped at the old 64 MB."""
+    blocks = spec.block * spec.subblocks * n_cols * 4 * 2
+    tables = 2 * (spec.n_rows * (8 + 16) * 4)
+    need = blocks + tables + (8 << 20)
+    return max(24 << 20, min(64 << 20, need))
+
+
 def _reach_rows(spec: FusedSpec):
     """Static [lo, hi] bounds (table-row space) of cells whose deposit
     taps stay inside the [-HALO, n_loc + HALO) current slab after
@@ -618,11 +638,8 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
             out_specs=tuple(out_specs),
         ),
         out_shape=tuple(out_shapes),
-        # the QED step shapes (wide windows x deep grids) need ~17 MB
-        # of Mosaic scratch — just over the default 16 MB scoped-vmem
-        # cap (v5e has 128 MB; 64 MB leaves room for double buffering)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit(spec, len(ins) + len(onames))
         ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), *ins)
@@ -933,7 +950,7 @@ def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
         ),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit(spec, 28)
         ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), H, weight, eb_rows)
