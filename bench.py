@@ -229,11 +229,12 @@ def main(argv=None):
                              "gather reach for ~210 steps — "
                              "max_drift_cells_per_step); QED beam decks "
                              "keep 3 (CFL drift)")
-    parser.add_argument("--capacity-factor", type=float, default=1.25,
+    parser.add_argument("--capacity-factor", type=float, default=0.0,
                         help="particle-buffer slack over the initial "
-                             "population (1e8-row runs: 1.1 keeps the "
-                             "state + sort double-buffers inside 16 GB "
-                             "HBM)")
+                             "population (0 = auto: 1.25, shrinking to "
+                             "1.1 at >= 5e7 rows so the state + sort "
+                             "double-buffers stay inside 16 GB HBM — "
+                             "the r4c 1e8 OOM)")
     parser.add_argument("--qed", action="store_true",
                         help="enable QED emission + absorption (adds a photon "
                              "population; colliding-beams-style workload)")
@@ -322,7 +323,19 @@ def main(argv=None):
     # migration and deferred-exchange sizing all key on it
     BENCH_DRIFT_CELLS = 0.0095
     if not args.steps:
-        args.steps = 50 if args.qed else 1024
+        # 1024-step timed blocks amortize per-call + once-per-program
+        # sort costs (r4a: +9%); at north-star scale (>= 5e7 rows) 400
+        # steps keeps the three blocks (2 warm + 1 timed) inside the
+        # capture budget — the r4h program-length ladder showed length
+        # is not the 1e8 lever (1.054e9 at spp100 vs 1.0587e9 at 200)
+        args.steps = 50 if args.qed else (
+            1024 if args.particles < 5e7 else 400
+        )
+    if not args.capacity_factor:
+        # 1e8 rows x 13 f32 columns = 5.2 GB state; 1.25x slack plus
+        # the sort double-buffer exceeded 16 GB HBM (r4c OOM) — the
+        # r4d/r4k clean 1e8 captures all ran 1.1
+        args.capacity_factor = 1.25 if args.particles < 5e7 else 1.1
     if not args.fused_resort:
         # 320 (r4i cadence stretch: 1.2724e9 vs 1.2537e9 at 192 —
         # fewer sorts; W stays 16 since disp(320) = 6 <= the window's
@@ -330,8 +343,12 @@ def main(argv=None):
         # exchange period <= HALO - 2 cells) is kept by exchanging
         # TWICE per sort period (migrate_every = resort // 2 below):
         # 160 * 0.0095 = 1.5 cells.
+        # at north-star scale the r4k ladder measured R384 clean at
+        # 1.18e9 (R320 untested there); at 8.39M R320 edges R384
+        # (1.2724e9 vs 1.2688e9) — key the auto on scale
         args.fused_resort = 64 if args.qed else (
-            256 if args.migrate_every else 320
+            256 if args.migrate_every
+            else (320 if args.particles < 3.2e7 else 384)
         )
     if not args.migrate_every:
         # deferred exchange: one migration per HALF maintenance-sort
@@ -351,7 +368,12 @@ def main(argv=None):
         # keeps 2048.
         args.fused_block = 2048 if args.qed else 8192
     if not args.misfit_capacity:
-        args.misfit_capacity = max(256, int(args.particles) // 32768)
+        # the fallback-chain cost scales with CAPACITY, not live misfit
+        # count (r4d: w16-m1024 cost 12%); r4k measured 2048 beating
+        # the unbounded auto (3052) at 1e8 by 1.9% — cap the auto there
+        args.misfit_capacity = min(
+            2048, max(256, int(args.particles) // 32768)
+        )
     if not args.fused_subblocks:
         # ~131k rows/program measured fastest non-QED on v5e (r3 sweep:
         # sub16 at blk8192 beat sub4/sub8 at every misfit capacity);
