@@ -182,6 +182,11 @@ def main(argv=None):
                         help="bench A/B: maintenance sort as key+iota "
                         "sort + one row-batched permutation gather "
                         "instead of the multi-operand payload sort")
+    parser.add_argument("--static-gather", action="store_true",
+                        default=False,
+                        help="bench A/B: the r1-r4 fully-unrolled "
+                        "W-loop gather instead of the dynamic "
+                        "span-bounded loop")
     parser.add_argument("--mxu-gather", action="store_true", default=False,
                         help="bench A/B: field gather as a one-hot MXU "
                         "contraction instead of the W-cell select-sum "
@@ -439,6 +444,7 @@ def main(argv=None):
         packed_fused=args.packed,
         fused_lite=-1 if args.lite else 0,
         mxu_gather=args.mxu_gather,
+        static_gather=args.static_gather,
         sort_rowgather=args.sort_rowgather,
         fused_subblocks=args.fused_subblocks,
         # the kernel re-anchors every block every step (exact fit-row

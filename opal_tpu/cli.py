@@ -231,6 +231,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # N = explicit rows per step
     absorption_active = int(tpu_opt("absorption_active_capacity", -1))
     emission_active = int(tpu_opt("emission_active_capacity", -1))
+    emission_insert = int(tpu_opt("emission_insert_capacity", -1))
+    absorption_events = int(tpu_opt("absorption_event_capacity", 4096))
     seed = int(tpu_opt("seed", 0))
     sorted_pipeline = bool(tpu_opt("sorted_pipeline", 0))
     # the fused Pallas pipeline is the default for f32 runs (it is the
@@ -313,6 +315,10 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     w_max = (geom.n_loc + 2 * HALO + 2 * PAD - 8) // 8 * 8
 
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    # the electron work integral accumulates every step for the whole
+    # run: keep it in the field dtype (f64 under mixed precision) so
+    # long-run ledgers close below 1e-5 (see FusedSpec.work_inc)
+    np_work_dtype = np.float64 if field_dtype == jnp.float64 else np_dtype
 
     # ---- species ------------------------------------------------------
     specs: dict[str, SpeciesSpec] = {}
@@ -333,7 +339,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                 sp, geom, npc_, dens, iux, iuy, iuz, dt,
                 # single-domain generation capacity: all alive rows
                 _round_up(int(_required_capacity(geom, npc_, dens))),
-                seed=seed_, dtype=np_dtype,
+                seed=seed_, dtype=np_dtype, work_dtype=np_work_dtype,
             )
             cap = per_dev_cap
             if cap is None:
@@ -360,7 +366,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         return (
             initialize(
                 sp, geom, npc_, dens, iux, iuy, iuz, dt, cap, seed=seed_,
-                dtype=np_dtype,
+                dtype=np_dtype, work_dtype=np_work_dtype,
             ),
             cap,
         )
@@ -392,7 +398,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         cap = 8
         states["electron"] = initialize(
             especs, geom, 0, lambda x: x * 0, None, None, None, dt, cap,
-            seed=seed, dtype=np_dtype,
+            seed=seed, dtype=np_dtype, work_dtype=np_work_dtype,
         )
         capacities["electron"] = cap
 
@@ -565,6 +571,8 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         absorption_candidates=absorption_candidates,
         absorption_active_capacity=absorption_active,
         emission_active_capacity=emission_active,
+        emission_insert_capacity=emission_insert,
+        absorption_event_capacity=absorption_events,
         seed=seed,
         # NOTE: no coupling to fused_pusher — the fused path manages
         # its own sorting (maintenance sorts + edge migration) and the

@@ -109,6 +109,16 @@ class FusedSpec(NamedTuple):
     # species that do not track work (ions: the Boris push leaves it
     # untouched, so reading+writing the column back is pure HBM waste).
     work_out: bool = True
+    # compensated-work mode: the kernel outputs the per-step work
+    # INCREMENT (no work input leg) and the caller accumulates it into
+    # a work column wider than the particle state (f64 under the CLI's
+    # mixed precision) — f32 in-kernel accumulation over 1e4+ steps is
+    # the measured ledger-precision limiter (BASELINE.md r4: mixed
+    # 4.4e-5 vs f64 9.1e-7 against the 1e-5 target of electron.rs:
+    # 278-287's work integral).  Off (the default) keeps the legacy
+    # accumulate-in-kernel path: all-f32 runs carry one fewer
+    # full-length add outside the kernel.
+    work_inc: bool = False
     # field gather via one-hot MXU matmul instead of the W-cell
     # select-sum loop: the b-spline has only 4 live taps (rel-1 ..
     # rel+2), so one (block x (W+4)) one-hot contracted against four
@@ -116,6 +126,9 @@ class FusedSpec(NamedTuple):
     # MXU, and the VPU only evaluates the 8 tap weights + 20 FMAs —
     # W-INDEPENDENT, vs ~22*W ops/particle for the loop.
     mxu_gather: bool = False
+    # A/B knob: the r1-r4 fully-unrolled static W-loop gather instead
+    # of the dynamic span-bounded fori_loop (see _gather_fields)
+    static_gather: bool = False
     # logical blocks (window/anchor granularity) per grid program: the
     # kernel body loops over ``subblocks`` consecutive blocks, each
     # with its own window base.  Cuts the program count (and with it
@@ -155,7 +168,7 @@ def _full_vmem(shape):
     )
 
 
-def _vmem_limit(spec: FusedSpec, n_cols: int) -> int:
+def _vmem_limit(spec: FusedSpec, n_cols: int, nblk: int) -> int:
     """Scoped-VMEM budget for one kernel instantiation.
 
     XLA RESERVES the full ``vmem_limit_bytes`` for the custom call: a
@@ -166,12 +179,22 @@ def _vmem_limit(spec: FusedSpec, n_cols: int) -> int:
     buffers no longer fit next to a 64 MB reservation ("allocating on
     stack for closed_call" RESOURCE_EXHAUSTED at every qed-8m
     compile).  Budget = double-buffered per-program particle blocks +
-    2x the resident tables + 8 MB Mosaic scratch margin, floored at
-    24 MB (the measured QED-shape scratch need is ~17 MB, r2b) and
-    capped at the old 64 MB."""
+    2x EVERY resident full-VMEM ref (eb table, out slab, AND the
+    (nblk, 128) amin output — 2.1 MB alone at 8.39M/blk2048) + a
+    Mosaic scratch margin, floored at 24 MB (the measured QED-shape
+    scratch need is ~17 MB, r2b) and capped at the old 64 MB.
+
+    The margin is calibrated, not derived: the r5a capture measured
+    the qed-8m (non-lite, blk2048 x sub4, nx 65k) shape's true Mosaic
+    need at 35.89 MB, ~17 MB above the accountable blocks+refs — the
+    non-lite kernel's extra output legs and QED-deck temporaries live
+    entirely in scratch Mosaic does not itemize.  20 MB non-lite
+    covers that point with headroom; lite kernels keep the 8 MB
+    margin so the tuned non-QED declaration (~33 MB at bench shape)
+    barely moves."""
     blocks = spec.block * spec.subblocks * n_cols * 4 * 2
-    tables = 2 * (spec.n_rows * (8 + 16) * 4)
-    need = blocks + tables + (8 << 20)
+    tables = 2 * (spec.n_rows * (8 + 16) * 4 + nblk * 128 * 4)
+    need = blocks + tables + ((8 if spec.lite else 20) << 20)
     return max(24 << 20, min(64 << 20, need))
 
 
@@ -216,9 +239,11 @@ def _flux(x_i, x_f):
     )
 
 
-def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
-    """Select-sum field gather over the W-cell window (staggered
-    b-spline taps, ``yee.rs:499-529``)."""
+def _gather_fields_static(spec, eb_ref, base, rel, relf, x, fitf):
+    """The r1-r4 static select-sum gather: a fully unrolled W-cell
+    loop.  Kept as the ``static_gather`` A/B knob for the dynamic
+    span-bounded variant below (bitwise-identical results — skipped
+    taps contribute exact zeros)."""
     W = spec.window
     win = eb_ref[pl.ds(base, W), :]       # (W, 8): Ex Ey Ez Bx By Bz 0 0
     d = relf + x
@@ -233,6 +258,53 @@ def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
         By += cc * win[wdx, 4]
         Bz += cc * win[wdx, 5]
         Bx += jnp.where(rel == wdx, win[wdx, 3], _ZERO)
+    return (Ex * fitf, Ey * fitf, Ez * fitf,
+            Bx * fitf, By * fitf, Bz * fitf)
+
+
+def _gather_fields(spec: FusedSpec, eb_ref, base, rel, relf, x, fitf):
+    """Select-sum field gather over the block's LIVE cell span
+    (staggered b-spline taps, ``yee.rs:499-529``).
+
+    The window W is a capacity, not the working set: a sorted bench
+    block spans only ~gap+dispersion cells (2-8 at dense npc), so a
+    static W-iteration loop wastes ~17 VPU ops/particle on every dead
+    cell.  The loop runs as a dynamic ``fori_loop`` over
+    [min_rel - 1, max_rel + 2] of the FIT rows (the b-spline's tap
+    support), cutting gather compute from O(W) to O(span) while W
+    only costs VMEM — which lets the window widen (fewer misfits)
+    without paying compute."""
+    W = spec.window
+    d = relf + x
+    fit = fitf != 0.0
+    # tap support of fit rows only: misfit rows must not widen the
+    # loop.  ALL literals as np.int32: under jax_enable_x64 a bare int
+    # inside jnp.where/maximum/minimum becomes a weak i64 scalar whose
+    # i32 conversion Mosaic cannot lower (see the _ZERO note above —
+    # this exact class killed the r5a two-stream-full stage).
+    rel_f = jnp.where(fit, rel, np.int32(W - 3))
+    lo = jnp.maximum(jnp.min(rel_f) - _IP1, _IZ)
+    rel_c = jnp.where(fit, rel, _IP1)
+    hi = jnp.minimum(jnp.max(rel_c) + np.int32(3), np.int32(W))  # excl.
+
+    def body(wdx, acc):
+        Ex, Ey, Ez, Bx, By, Bz = acc
+        wf = wdx.astype(F32)
+        r = base + wdx
+        ce = _w2(d - wf)                  # edge taps (Ey, Ez)
+        cc = _w2(d - wf - 0.5)            # centred taps (Ex, By, Bz)
+        Ex += cc * eb_ref[r, 0]
+        Ey += ce * eb_ref[r, 1]
+        Ez += ce * eb_ref[r, 2]
+        By += cc * eb_ref[r, 4]
+        Bz += cc * eb_ref[r, 5]
+        Bx += jnp.where(rel == wdx, eb_ref[r, 3], _ZERO)
+        return (Ex, Ey, Ez, Bx, By, Bz)
+
+    z = jnp.zeros_like(x)
+    Ex, Ey, Ez, Bx, By, Bz = lax.fori_loop(
+        lo, hi, body, (z, z, z, z, z, z)
+    )
     return (Ex * fitf, Ey * fitf, Ez * fitf,
             Bx * fitf, By * fitf, Bz * fitf)
 
@@ -300,7 +372,7 @@ def _out_names(spec: FusedSpec):
 def _kernel(spec: FusedSpec, c0_ref, *refs):
     # positional refs vary with the spec flags — unpack by name
     in_names = ["cell", "x", "y", "z", "ux", "uy", "uz", "g", "q"]
-    if spec.work_out:
+    if spec.work_out and not spec.work_inc:
         in_names.append("work")
     in_names.append("eb")
     out_names = _out_names(spec)
@@ -365,12 +437,22 @@ def _kernel_block(spec: FusedSpec, r, c0_ref, blk, sl):
 
     # ---- field gather: select-sum loop or one-hot MXU contraction ---
     fitf = fit.astype(F32)
-    _gather = _gather_fields_mxu if spec.mxu_gather else _gather_fields
+    _gather = (
+        _gather_fields_mxu if spec.mxu_gather
+        else _gather_fields_static if spec.static_gather
+        else _gather_fields
+    )
     Ex, Ey, Ez, Bx, By, Bz = _gather(
         spec, eb_ref, base, rel, relf, x, fitf
     )
 
-    work_in = r["work"][sl, :] if spec.work_out else None
+    # work_inc: seed the integral at zero so _push_core's accumulate
+    # yields the bare increment (the caller owns the wide accumulator)
+    work_in = (
+        None if not spec.work_out
+        else jnp.zeros_like(ux) if spec.work_inc
+        else r["work"][sl, :]
+    )
     (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) = _push_core(
         spec, ux, uy, uz, g, work_in, Ex, Ey, Ez, Bx, By, Bz,
         lite=spec.lite,
@@ -625,7 +707,7 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         as2d(cell, jnp.int32), as2d(x), as2d(y), as2d(z), as2d(ux),
         as2d(uy), as2d(uz), as2d(gamma), as2d(weight),
     ]
-    if spec.work_out:
+    if spec.work_out and not spec.work_inc:
         ins.append(as2d(work))
     ins.append(eb_rows)
     outs = pl.pallas_call(
@@ -639,7 +721,9 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
         ),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(spec, len(ins) + len(onames))
+            vmem_limit_bytes=_vmem_limit(
+                spec, len(ins) + len(onames), nblk
+            )
         ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), *ins)
@@ -652,6 +736,10 @@ def fused_push_deposit(spec: FusedSpec, anchors, cell, x, y, z, ux, uy,
     cols = {
         col_of[nm]: o[nm].reshape(n) for nm in onames if nm in col_of
     }
+    if spec.work_inc and "work" in cols:
+        # increment semantics: rename so the caller cannot mistake it
+        # for the accumulated integral
+        cols["winc"] = cols.pop("work")
     miss, amin, out_slab = o["miss"], o["amin"], o["out"]
     # re-anchor at min - 1: the fit test's lower bound is rel >= 1 and
     # amin IS next step's pre-push minimum (cells move <= 1 cell/step
@@ -950,7 +1038,7 @@ def fused_push_deposit_packed(spec: FusedSpec, anchors, H, weight, eb_rows,
         ),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(spec, 28)
+            vmem_limit_bytes=_vmem_limit(spec, 28, nblk)
         ),
         interpret=interpret,
     )(anchors.astype(jnp.int32), H, weight, eb_rows)
@@ -1015,7 +1103,10 @@ def unpack_fused(ps: PackedState, template):
         weight=w, alive=w > 0,
     )
     if template.work is not None:
-        rep["work"] = flat(ps.h[:, 8])
+        # the packed layout accumulates work in f32 inside H (legacy
+        # semantics even under mixed precision — packed is a non-QED
+        # A/B knob); cast back to the column's dtype
+        rep["work"] = flat(ps.h[:, 8]).astype(template.work.dtype)
     if template.chi is not None:
         rep["chi"] = flat(ps.aux[:, 1])
     if template.tau is not None:

@@ -215,6 +215,9 @@ class SimOptions:
     # field gather via one-hot MXU contraction instead of the W-cell
     # select-sum loop (FusedSpec.mxu_gather) — A/B knob
     mxu_gather: bool = False
+    # A/B knob: static unrolled W-loop gather (r1-r4 behaviour)
+    # instead of the dynamic span-bounded loop
+    static_gather: bool = False
     # maintenance-sort strategy (migrate.sort_state): key+iota sort +
     # one row-batched permutation gather instead of the multi-operand
     # payload sort — A/B knob (the sort phase is ~2.3 ms/step of the
@@ -498,7 +501,18 @@ class Simulation:
             ),
             # only electrons carry the work integral (species.py)
             work_out=spec.kind == "electron",
+            # mixed precision (f32 particles, f64 fields): the work
+            # column is field-dtype (species initialization) and the
+            # kernel outputs bare increments accumulated outside in
+            # f64 — in-kernel f32 accumulation over 1e4+ steps was the
+            # ledger-precision limiter (BASELINE.md r4).  All-f32 and
+            # all-f64 runs keep accumulate-in-place semantics.
+            work_inc=(
+                spec.kind == "electron"
+                and self.field_dtype != self.dtype
+            ),
             mxu_gather=opt.mxu_gather,
+            static_gather=opt.static_gather,
             subblocks=max(1, opt.fused_subblocks),
         )
 
@@ -530,7 +544,8 @@ class Simulation:
         cols, miss, out_slab, anchors_next = F.fused_push_deposit(
             fspec, anchors, st.cell, st.x, st.y, st.z,
             st.ux, st.uy, st.uz, st.gamma, st.weight,
-            st.work if fspec.work_out else None, eb,
+            st.work if fspec.work_out and not fspec.work_inc else None,
+            eb,
             interpret=self._interpret,
         )
 
@@ -570,7 +585,12 @@ class Simulation:
         if st.tau is not None:
             upd["tau"] = tau_new
         if st.work is not None and fspec.work_out:
-            upd["work"] = cols["work"]
+            if fspec.work_inc:
+                # compensated accumulation: the f32 increment lands in
+                # the field-dtype (f64) column — see FusedSpec.work_inc
+                upd["work"] = st.work + cols["winc"].astype(st.work.dtype)
+            else:
+                upd["work"] = cols["work"]
 
         # fallback: compact misfits, run the unfused ops on the (small)
         # compacted rows, scatter back.  Runs UNCONDITIONALLY: when no
@@ -1510,8 +1530,13 @@ class Simulation:
 
     def total_kinetic_energy(self, name: str, state: ParticleState) -> float:
         """Global kinetic energy of a species in joules
-        (``mod.rs:227-240``)."""
-        return float(jnp.sum(kinetic_energy_weights(self.specs[name], state)))
+        (``mod.rs:227-240``).  The reduction runs in the field dtype
+        (f64 under mixed precision): an f32 sum over 1e6+ terms adds
+        ~1e-7-level noise to a ledger targeting 1e-5 closure."""
+        ke = kinetic_energy_weights(self.specs[name], state)
+        if ke.dtype != self.field_dtype:
+            ke = ke.astype(self.field_dtype)
+        return float(jnp.sum(ke))
 
     @property
     def electron_chi_is_lazy(self) -> bool:

@@ -148,7 +148,7 @@ def dead_default(fname: str, is_photon: bool) -> float:
     return 0.0
 
 
-def _empty_fields(spec: SpeciesSpec, n: int, dtype):
+def _empty_fields(spec: SpeciesSpec, n: int, dtype, work_dtype=None):
     inf = np.full(n, np.inf, dtype)
     fields = dict(
         cell=np.zeros(n, np.int32),
@@ -173,7 +173,11 @@ def _empty_fields(spec: SpeciesSpec, n: int, dtype):
     )
     if spec.kind == "electron":
         fields["tau"] = inf.copy()
-        fields["work"] = np.zeros(n, dtype)
+        # the work integral accumulates q c (u.E) dt / gamma every step
+        # for the whole run (electron.rs:278-280): under mixed
+        # precision it lives in the FIELD dtype (f64) so 1e4+-step
+        # ledgers close below 1e-5 (BASELINE.md r4)
+        fields["work"] = np.zeros(n, work_dtype or dtype)
     if spec.kind == "photon":
         fields["gamma"] = np.zeros(n, dtype)  # |k|; 0 for dead slots
         fields["tau_abs"] = inf.copy()
@@ -196,6 +200,7 @@ def initialize(
     capacity_per_device: int,
     seed: int = 0,
     dtype=np.float64,
+    work_dtype=None,
 ) -> ParticleState:
     """Sample the initial distribution (``mod.rs:172-203``), host-side.
 
@@ -207,7 +212,9 @@ def initialize(
     device's particles in its own contiguous block.
     """
     rng = np.random.default_rng(seed)
-    fields = _empty_fields(spec, geom.n_devices * capacity_per_device, dtype)
+    fields = _empty_fields(
+        spec, geom.n_devices * capacity_per_device, dtype, work_dtype
+    )
 
     if npc > 0:
         cells = np.arange(geom.nx)
@@ -308,6 +315,7 @@ def initialize_device(
     capacity_per_device: int,
     seed: int = 0,
     dtype=jnp.float64,
+    work_dtype=None,
 ) -> ParticleState:
     """Sample the initial distribution **on device** under shard_map.
 
@@ -409,7 +417,7 @@ def initialize_device(
             fields["tau"] = jnp.where(
                 alive, jax.random.exponential(k_tau, (cap,), dtype), jnp.inf
             )
-            fields["work"] = zero
+            fields["work"] = jnp.zeros(cap, work_dtype or dtype)
         if spec.kind == "photon":
             ka, kb = jax.random.split(k_tau)
             fields["tau_abs"] = jnp.where(

@@ -38,6 +38,11 @@ def main(argv=None):
                    help="all-f64 parity mode (default: mixed precision)")
     p.add_argument("--chunk", type=int, default=500,
                    help="steps per compiled program")
+    p.add_argument("--no-emission", action="store_true",
+                   help="diagnostic: disable photon emission so the "
+                        "only electron energy channel is laser work — "
+                        "|dKE - work| isolates the PUSH's energy-"
+                        "conservation defect from the emission path's")
     args = p.parse_args(argv)
 
     import jax
@@ -51,11 +56,17 @@ def main(argv=None):
     from opal_tpu.cli import build
     from opal_tpu.sim import counter_total
 
+    import dataclasses
+
     sim, species, rp = build(
         Path(args.input), n_devices=args.devices,
         dtype=jnp.float64 if args.f64 else jnp.float32,
         field_dtype=jnp.float64,
     )
+    if args.no_emission:
+        sim.options = dataclasses.replace(
+            sim.options, photon_emission=False, photon_absorption=False
+        )
     total_steps = rp["total_steps"]
     E, B, J, rho = sim.init_fields()
     counters = sim.zero_counters()
@@ -111,9 +122,16 @@ def main(argv=None):
         abs(e_loss + work - ph_gain) / ph_gain if ph_gain > 0
         else float("nan")
     )
+    # push-defect diagnostic: with emission off, dKE must equal the
+    # work integral exactly; the residual is the push's own energy-
+    # conservation defect at this precision (absolute J + relative to
+    # the initial electron energy)
+    push_defect_J = (-e_loss) - work
     print(json.dumps({
         "metric": "ledger-closure",
         "value": closure,
+        "push_defect_J": push_defect_J,
+        "push_defect_rel_e0": abs(push_defect_J) / e0["electron"],
         "closure_with_work": closure_w,
         "laser_work_J": work,
         "unit": "relative",
