@@ -182,11 +182,11 @@ def main(argv=None):
                         help="bench A/B: maintenance sort as key+iota "
                         "sort + one row-batched permutation gather "
                         "instead of the multi-operand payload sort")
-    parser.add_argument("--static-gather", action="store_true",
-                        default=False,
-                        help="bench A/B: the r1-r4 fully-unrolled "
-                        "W-loop gather instead of the dynamic "
-                        "span-bounded loop")
+    parser.add_argument("--dynamic-gather", dest="static_gather",
+                        action="store_false", default=True,
+                        help="bench A/B: span-bounded dynamic gather "
+                        "loop instead of the default unrolled W-loop "
+                        "(measured 7.3%% slower on v5e, r5b)")
     parser.add_argument("--mxu-gather", action="store_true", default=False,
                         help="bench A/B: field gather as a one-hot MXU "
                         "contraction instead of the W-cell select-sum "
@@ -541,6 +541,12 @@ def main(argv=None):
         )
     spp = args.steps_per_program or args.steps
     spp = min(spp, args.steps)
+    # balance the chunks: a ragged tail (e.g. 400 steps at spp=192 ->
+    # 192+192+16) compiles a second executable AND pays the
+    # once-per-program maintenance sort for a 16-step program inside
+    # the timed block — the r4k 1e8 capture ran spp=200 (exact halves)
+    # and measured 1.8% over the auto's ragged 192
+    spp = -(-args.steps // max(1, args.steps // spp))
 
     if args.aot:
         from jax.experimental import topologies

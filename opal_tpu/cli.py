@@ -240,7 +240,23 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # per species when inapplicable); f64 runs use the unfused ops —
     # Mosaic has no f64 path
     fused_default = 1 if dtype == jnp.float32 else 0
+    qed_on = photon_emission or photon_absorption
+    # mixed-precision QED decks default to the UNFUSED pipeline with
+    # f64-compute push: the fused kernel's f32 arithmetic carries a
+    # field-phase-correlated energy bias (+1.6e-6 of the electron
+    # energy per crossing) that kept the radiated-energy ledger above
+    # the 1e-5 closure target (BASELINE.md r5).  QED decks are small
+    # (reference examples: 4e5 macroparticles) and their step cost is
+    # dominated by the emission/absorption machinery, so the unfused
+    # push is cheap there; tpu: fused_pusher: 1 forces the kernel
+    # back.
+    if qed_on and field_dtype == jnp.float64 and dtype == jnp.float32:
+        fused_default = 0
     fused_pusher = bool(tpu_opt("fused_pusher", fused_default))
+    push_f64_compute = (
+        not fused_pusher and qed_on
+        and field_dtype == jnp.float64 and dtype == jnp.float32
+    )
     block_explicit = int(tpu_opt("fused_block", -1))
     # 8192 at the narrowest window measured fastest on v5e for non-QED
     # steps (2026-08-20 r2h: 1.165e9 pushes/s/chip, +13.6% over
@@ -484,7 +500,15 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # it lands in the counted misfit fallback, never silently (round 2
     # shipped a zero-headroom formula with an off-by-one span estimate
     # and froze up to 31% of pushes per step — VERDICT r2 weak #1).
-    v_spread = 0.05  # floor for cold decks (thermal noise, heating)
+    # floor for cold decks: periodic deposition decks are the
+    # instability class (two_stream) — saturation traps particles at
+    # several times the initial drift, and the r5b full-duration
+    # two_stream lost 15.1M pushes to misfit-capacity overflow when
+    # the 0.05 floor under-covered the saturated spread.  0.1 costs
+    # ~15% window on the reference deck and nothing on big-npc decks.
+    v_spread = (
+        0.1 if left_bdy == "periodic" and current_deposition else 0.05
+    )
     for _nm, _st in states.items():
         if specs[_nm].kind not in ("electron", "ion"):
             continue
@@ -525,7 +549,13 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
                 )
                 v_peak = max(v_peak, float(_vx.max()))
         if left_bdy != "laser" and fused_pusher:
-            max_drift = min(0.95, 4.0 * v_peak * 0.95)
+            # 8x (was 4x): the r5b full-duration two_stream lost 15.1M
+            # deposit taps — instability saturation drives leavers to
+            # ~5.5x the initial drift, so at M = 1.8/(4 v0) the
+            # fastest leavers overran the 2-cell deposit reach for the
+            # tail of every exchange period.  8x covers saturation
+            # with margin; the extra exchanges cost ~0.1 ms/step.
+            max_drift = min(0.95, 8.0 * v_peak * 0.95)
             migration_every = max(
                 1, min(fused_resort_every, int(1.8 / max_drift))
             )
@@ -571,6 +601,7 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
         absorption_candidates=absorption_candidates,
         absorption_active_capacity=absorption_active,
         emission_active_capacity=emission_active,
+        push_f64_compute=push_f64_compute,
         emission_insert_capacity=emission_insert,
         absorption_event_capacity=absorption_events,
         seed=seed,

@@ -126,9 +126,15 @@ class FusedSpec(NamedTuple):
     # MXU, and the VPU only evaluates the 8 tap weights + 20 FMAs —
     # W-INDEPENDENT, vs ~22*W ops/particle for the loop.
     mxu_gather: bool = False
-    # A/B knob: the r1-r4 fully-unrolled static W-loop gather instead
-    # of the dynamic span-bounded fori_loop (see _gather_fields)
-    static_gather: bool = False
+    # the fully-unrolled static W-loop gather (default) vs the dynamic
+    # span-bounded fori_loop: the r5b hardware A/B measured the dynamic
+    # loop 7.3% SLOWER end-to-end (1.204e9 vs 1.298e9 pushes/s at
+    # 8.39M) — Mosaic software-pipelines the unrolled loop across
+    # window cells, while a serial dynamic loop pays per-iteration
+    # control + scalar-load overhead that exceeds the dead-tap savings
+    # at W=16/span~2.  Kept as a knob for wide-window decks where the
+    # span/W ratio is far smaller.
+    static_gather: bool = True
     # logical blocks (window/anchor granularity) per grid program: the
     # kernel body loops over ``subblocks`` consecutive blocks, each
     # with its own window base.  Cuts the program count (and with it
@@ -240,10 +246,10 @@ def _flux(x_i, x_f):
 
 
 def _gather_fields_static(spec, eb_ref, base, rel, relf, x, fitf):
-    """The r1-r4 static select-sum gather: a fully unrolled W-cell
-    loop.  Kept as the ``static_gather`` A/B knob for the dynamic
-    span-bounded variant below (bitwise-identical results — skipped
-    taps contribute exact zeros)."""
+    """The static select-sum gather: a fully unrolled W-cell loop
+    (the DEFAULT — see FusedSpec.static_gather for the measured
+    verdict vs the dynamic variant; results are bitwise identical —
+    the dynamic loop's skipped taps contribute exact zeros)."""
     W = spec.window
     win = eb_ref[pl.ds(base, W), :]       # (W, 8): Ex Ey Ez Bx By Bz 0 0
     d = relf + x

@@ -215,9 +215,18 @@ class SimOptions:
     # field gather via one-hot MXU contraction instead of the W-cell
     # select-sum loop (FusedSpec.mxu_gather) — A/B knob
     mxu_gather: bool = False
-    # A/B knob: static unrolled W-loop gather (r1-r4 behaviour)
-    # instead of the dynamic span-bounded loop
-    static_gather: bool = False
+    # static unrolled W-loop gather (default; measured 7.3% faster
+    # than the dynamic span-bounded loop on v5e, r5b) — 0 selects the
+    # dynamic variant for wide-window decks
+    static_gather: bool = True
+    # mixed-precision QED decks: run the (unfused) electron push
+    # arithmetic in the field dtype (f64), rounding only the stored
+    # state — the all-f32 chain's field-phase-correlated rounding bias
+    # (+22.6 J over a colliding_beams crossing, ledger_closure
+    # --no-emission r5) is what kept the shipped ledger above the 1e-5
+    # closure target.  Set by cli.build for mixed QED decks; ignored
+    # by the fused kernel (Mosaic has no f64).
+    push_f64_compute: bool = False
     # maintenance-sort strategy (migrate.sort_state): key+iota sort +
     # one row-batched permutation gather instead of the multi-operand
     # payload sort — A/B knob (the sort phase is ~2.3 ms/step of the
@@ -380,15 +389,24 @@ class Simulation:
             )
         idx = st.cell + HALO
         Ep, Bp = fields_at(E_slab, B_slab, idx, st.x)
-        # mixed precision: particles advance in their own dtype
-        Ep = Ep.astype(st.x.dtype)
-        Bp = Bp.astype(st.x.dtype)
+        # mixed precision: particles advance in their own dtype —
+        # except under push_f64_compute, where the electron push
+        # ARITHMETIC runs on the raw f64 fields and only the stored
+        # state rounds to f32 (see pusher.vay_push compute_dtype)
+        f64_push = (
+            opt.push_f64_compute and spec.kind == "electron"
+            and st.x.dtype != self.field_dtype
+        )
+        if not f64_push:
+            Ep = Ep.astype(st.x.dtype)
+            Bp = Bp.astype(st.x.dtype)
 
         if spec.kind == "electron":
             res = vay_push(
                 st.cell, st.x, st.y, st.z, st.u, st.gamma, st.tau, st.work,
                 Ep, Bp, geom.dx, opt.dt,
                 classical_rates=not opt.radiation_reaction,
+                compute_dtype=self.field_dtype if f64_push else None,
             )
             st = dataclasses.replace(
                 st,
@@ -621,9 +639,16 @@ class Simulation:
             Ep = Ep.astype(st.x.dtype)
             Bp = Bp.astype(st.x.dtype)
             if spec.kind == "electron":
+                # non-emission decks: the main path skips the tau
+                # decrement (unconsumed, see the tau note above) — the
+                # fallback matches, saving a gather + a scatter + the
+                # rate's table evaluation at fallback length
+                emit_on = opt.photon_emission and st.tau is not None
                 res = vay_push(
                     m_cell, m_x, tk(st.y, 0.0), tk(st.z, 0.0), m_u,
-                    tk(st.gamma, 1.0), tk(st.tau, jnp.inf),
+                    tk(st.gamma, 1.0),
+                    tk(st.tau, jnp.inf) if emit_on
+                    else jnp.full_like(m_x, jnp.inf),
                     tk(st.work, 0.0), Ep, Bp, geom.dx, opt.dt,
                     classical_rates=not opt.radiation_reaction,
                 )
@@ -631,8 +656,10 @@ class Simulation:
                     cell=res.cell, x=res.x, prev_x=res.prev_x, y=res.y,
                     z=res.z, ux=res.u[:, 0], uy=res.u[:, 1],
                     uz=res.u[:, 2], gamma=res.gamma, chi=res.chi,
-                    tau=res.tau, work=res.work,
+                    work=res.work,
                 )
+                if emit_on:
+                    fb["tau"] = res.tau
                 vel = const.SPEED_OF_LIGHT * res.u / res.gamma[:, None]
             else:
                 qv = jnp.full_like(m_x, spec.charge)

@@ -61,11 +61,18 @@ def build_binary() -> str:
     return exe
 
 
-def dump_state(path, st, nx, dx, dt, charge, mass, record_every):
+def dump_state(path, st, geom, dx, dt, charge, mass, record_every):
     import numpy as np
 
+    nx = geom.nx
     alive = np.asarray(st.alive)
-    cell = np.asarray(st.cell)[alive].astype(np.int64)
+    # device-local cell -> global cell (each device owns a contiguous
+    # row block of capacity rows; see species.initialize)
+    n_rows = alive.shape[0]
+    cap = n_rows // geom.n_devices
+    dev = np.arange(n_rows) // cap
+    cell = (np.asarray(st.cell).astype(np.int64)
+            + dev * geom.n_loc - geom.left_pad)[alive]
     cols = [np.asarray(getattr(st, c), np.float64)[alive]
             for c in ("x", "ux", "uy", "uz", "weight")]
     n = cell.shape[0]
@@ -81,6 +88,11 @@ def dump_state(path, st, nx, dx, dt, charge, mass, record_every):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--deck", default="examples/two_stream.yaml")
+    p.add_argument("--devices", type=int, default=1,
+                   help="opal_tpu device count — >1 turns this into a "
+                        "MULTI-DEVICE equivalence oracle: shard_map "
+                        "halo exchange, migration and psum reductions "
+                        "vs the serial ground truth")
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--record", type=int, default=50)
     p.add_argument("--nx", type=int, default=0,
@@ -114,14 +126,15 @@ def main(argv=None):
     deck.write_text(deck_src)
 
     sim, species, rp = build(
-        deck, n_devices=1, dtype=jnp.float64, field_dtype=jnp.float64,
+        deck, n_devices=args.devices, dtype=jnp.float64,
+        field_dtype=jnp.float64,
     )
     geom = sim.geom
     est = species["electron"]
     spec = sim.specs["electron"]
     state_bin = outdir / "state.bin"
     n = dump_state(
-        state_bin, est, geom.nx, geom.dx, sim.options.dt,
+        state_bin, est, geom, geom.dx, sim.options.dt,
         spec.charge, spec.mass, args.record,
     )
     print(f"# {n} electrons, nx={geom.nx}, steps={args.steps}",
@@ -210,6 +223,7 @@ def main(argv=None):
         "final_field_J": [float(fe_ref[-1]), float(fe_opal[-1])],
         "final_ke_J": [float(ke_ref[-1]), float(ke_opal[-1])],
         "spectrum_l1": l1,
+        "devices": args.devices,
         "out": str(outdir),
     }
     print(json.dumps(result))
