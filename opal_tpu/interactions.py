@@ -598,6 +598,17 @@ def absorb(sim, species, t, key, axis_index=None, presorted=False,
             jnp.roll(has_mates, -rot).astype(jnp.float32), A
         )
         atab = jnp.where(atab_rot < n_ph, (atab_rot + rot) % n_ph, n_ph)
+        if int(getattr(opt, "absorption_sorted_active", 1) or 0):
+            # monotone working-set addresses: every working-length
+            # gather/scatter (the (A,10) staging row gather, the tau
+            # scatter-backs, the event-leg gathers) then walks the
+            # photon buffer in address order instead of
+            # rotation-scrambled order.  Selection is unchanged (same
+            # rows walk — the walk is row-independent), so physics is
+            # identical; the sort costs one (A,) single-key sort and
+            # conveniently parks the n_ph overflow sentinels at the
+            # tail.
+            atab = jnp.sort(atab)
         wi = jnp.clip(atab, 0, n_ph - 1)
         w_active = atab < n_ph
         # ROW-BATCHED working-set gather: one (A, 10) row gather

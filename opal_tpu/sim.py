@@ -169,6 +169,10 @@ class SimOptions:
     # exact sort.  0 = per-step sort (round-3 behavior), 1 = bracketed
     # (default).
     absorption_bracketed: int = 1
+    # sort the absorption active-set index table so working-length
+    # gathers/scatters see monotone buffer addresses (physics
+    # identical — selection unchanged; A/B knob, r5)
+    absorption_sorted_active: int = 1
     seed: int = 0
     # diagnostics: disable the migration exchange (bench A/B only —
     # particles leaving their slab are then lost)

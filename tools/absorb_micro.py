@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--block", type=int, default=32)
     ap.add_argument("--active", type=int, default=-1)
     ap.add_argument("--cases", default="all")
+    ap.add_argument("--no-sorted-active", dest="sorted_active",
+                    action="store_false", default=True,
+                    help="A/B: rotation-scrambled active-set order")
     ap.add_argument("--ablate", default="",
                     help="comma list for SimOptions.debug_absorb_ablate "
                          "(walk,kicks,insert,scatter,book) applied to "
@@ -77,6 +80,7 @@ def main():
         absorption_candidates=args.candidates,
         absorption_block=args.block,
         absorption_active_capacity=A,
+        absorption_sorted_active=1 if args.sorted_active else 0,
         debug_absorb_ablate=args.ablate,
     )
     sim = SimpleNamespace(geom=geom, options=opt, specs=None)
