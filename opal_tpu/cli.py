@@ -573,7 +573,16 @@ def build(path: Path, n_devices: int | None = None, dtype=None,
     # population (ADVICE r2: a fixed 1024 saturates on large decks);
     # laser decks get a larger floor (violent heating phases).
     # Overflow beyond it is counted, never silent.
-    _mis_div = 16 if left_bdy == "laser" else 64
+    # periodic deposition decks are the instability class: saturation
+    # scatters particles past any cold-start dispersion estimate, and
+    # the r5c full-duration two_stream overflowed the //64 capacity by
+    # ~700 rows/step at the saturation transition (282k counted
+    # losses); //16 ran CLEAN (r5d bisect) at no measurable step cost
+    # on small decks
+    _mis_div = 16 if (
+        left_bdy == "laser"
+        or (left_bdy == "periodic" and current_deposition)
+    ) else 64
     auto_misfit = _round_up(
         max(1024, sum(capacities.values()) // _mis_div)
     )
