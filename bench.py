@@ -71,12 +71,19 @@ print("OK", ds[0].platform, len(ds))
 
 def _auto_window(block, npc, resort, v_spread):
     """Fused window covering a block's sorted cell span plus ``resort``
-    steps of velocity-spread dispersion plus slack 2 (the kernel fits
-    rel in [1, W-3] with a min-1 re-anchor, so sustainable span is
-    W - 4)."""
+    steps of velocity-spread dispersion plus the kernel's 4-cell fit
+    margin plus 1 cell of safety (the kernel fits rel in [1, W-3] with
+    a min-1 re-anchor, so sustainable span is W - 4).
+
+    Granularity 4 and slack 5 (was 8 and 6): the bench deck's true
+    sorted-block span grows to ~6.6 cells over R=320 (the dispersion
+    ceil is itself conservative), and the r5d hardware A/B measured
+    W=12 at 1.3788e9 pushes/s vs 1.2999e9 at the old W=16 — +6%,
+    CLEAN.  Any sizing regression is loud: particle losses void the
+    bench with an error JSON."""
     gap = -(-block // max(1, npc))
     disp = int(np.ceil(0.95 * v_spread * resort))
-    return -(-(gap + 6 + disp) // 8) * 8
+    return max(8, -(-(gap + 5 + disp) // 4) * 4)
 
 
 def _emit_error(msg: str) -> None:
@@ -165,11 +172,17 @@ def main(argv=None):
                         action="store_true", default=False,
                         help="bench A/B: cell-sorted pipeline (migrate_sorted "
                              "+ sort-free deposition)")
-    parser.add_argument("--fused", action="store_true", default=True,
+    parser.add_argument("--fused", dest="fused", action="store_const",
+                        const=True, default=None,
                         help="fused Pallas gather+push+deposit kernel "
-                             "(default on; --no-fused for the unfused "
-                             "pipeline)")
-    parser.add_argument("--no-fused", dest="fused", action="store_false")
+                             "(default: on, except QED decks >= 4e6 "
+                             "particles — the kernel's scoped VMEM "
+                             "cannot coexist with the deep-grid QED "
+                             "while-body at nx ~ 65k, r5; the unfused "
+                             "pipeline serves those, AOT-validated + "
+                             "measured 9.85e6 pushes/s at 8.39M)")
+    parser.add_argument("--no-fused", dest="fused", action="store_const",
+                        const=False)
     # packed hot-matrix layout measured ~6% SLOWER than the column
     # kernel on v5e (2026-08-19 single-knob A/B + combo sweep): the
     # per-block DMA count was not the bottleneck.  Kept as an A/B knob.
@@ -314,6 +327,8 @@ def main(argv=None):
     from opal_tpu.species import SpeciesSpec, initialize_device
 
     ndev = args.devices or len(jax.devices())
+    if args.fused is None:
+        args.fused = not (args.qed and args.particles >= 4e6)
     if not args.nx:
         # non-QED: dense-plasma geometry (two_stream-like, npc ~ 8k at
         # the 8.4M default).  QED: beam-deck geometry — the reference's
