@@ -201,6 +201,14 @@ def _vmem_limit(spec: FusedSpec, n_cols: int, nblk: int) -> int:
     blocks = spec.block * spec.subblocks * n_cols * 4 * 2
     tables = 2 * (spec.n_rows * (8 + 16) * 4 + nblk * 128 * 4)
     need = blocks + tables + ((8 if spec.lite else 20) << 20)
+    # deep grids: Mosaic's unitemized scratch tracks the resident
+    # table size (hole_boring nx=20k lite measured 29.28 MB against a
+    # 27.88 MB declaration, r5g) — add one more tables-worth there.
+    # Gated at n_rows > 4096 so every shallow-grid program (the
+    # hardware-verified bench configs) keeps a byte-identical
+    # declaration.
+    if spec.n_rows > 4096:
+        need += tables
     return max(24 << 20, min(64 << 20, need))
 
 
