@@ -266,6 +266,9 @@ def main(argv=None):
                              "gamma=1000 bench beam (sets the static B field; "
                              "default 0.02 ~ colliding_beams-crossing emission "
                              "rates, no buffer churn)")
+    parser.add_argument("--absorption-block", type=int, default=32,
+                        help="with --qed: candidates examined per walk "
+                             "pass (B; K/B sequential passes)")
     parser.add_argument("--absorption-active", type=int, default=-1,
                         help="compact the absorption walk to at most N "
                              "active-with-cell-mates photons per step "
@@ -452,6 +455,7 @@ def main(argv=None):
         ),
         fused_misfit_capacity=args.misfit_capacity,
         absorption_candidates=64,
+        absorption_block=args.absorption_block,
         absorption_active_capacity=args.absorption_active,
         emission_active_capacity=args.emission_active,
         sorted_pipeline=args.sorted_pipeline,

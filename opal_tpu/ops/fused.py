@@ -963,7 +963,10 @@ def _kernel_packed(spec: FusedSpec, c0_ref, h_ref, q_ref, eb_ref,
     upd = fit & (q != 0.0)
 
     fitf = fit.astype(F32)
-    Ex, Ey, Ez, Bx, By, Bz = _gather_fields(
+    _gather_p = (
+        _gather_fields_static if spec.static_gather else _gather_fields
+    )
+    Ex, Ey, Ez, Bx, By, Bz = _gather_p(
         spec, eb_ref, base, rel, relf, x, fitf
     )
     (unx, uny, unz, gn, ign, gh, chi, work, vty, vtz) = _push_core(
